@@ -1,0 +1,40 @@
+"""Minimal FASTA reader/writer (build layer only)."""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Tuple
+
+
+def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
+    name = None
+    chunks = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(chunks)
+                name = line[1:].split()[0]
+                chunks = []
+            elif line:
+                chunks.append(line)
+    if name is not None:
+        yield name, "".join(chunks)
+
+
+def read_fasta(path: str) -> Dict[str, str]:
+    return dict(iter_fasta(path))
+
+
+def write_fasta(out, records, width: int = 80) -> None:
+    for name, seq in records:
+        print(f">{name}", file=out)
+        for i in range(0, len(seq), width):
+            print(seq[i : i + width], file=out)
+
+
+_COMP = str.maketrans("ACGTNacgtn", "TGCANtgcan")
+
+
+def revcomp(seq: str) -> str:
+    return seq.translate(_COMP)[::-1]
