@@ -1,0 +1,178 @@
+"""pantas-compatible command-line interface.
+
+Subcommands and flags mirror the reference bash driver (``pantas:10-61``):
+
+    build    FA GTF VCF   [-o outdir] [-a aggressive-prune] [-r reduce] [-t threads]
+    augment  GAF GFA      [-q mapq-threshold]
+    call     GFA GTF      [-w rca] [-i isw] [-e EV1,EV2] [-l minintron] [-a] [-n]
+    quant    C1R1..C1Rk C2R1..C2Rk   [-a report-all]
+    remap    CSV GTF      [-i min-intron-size]
+    version
+
+plus TPU-native extras:
+
+    map      GFA FQ1 [FQ2]  -> GAF on stdout (graph read mapper)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pantas_tpu import __version__
+
+
+def _cmd_build(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu build")
+    ap.add_argument("FA")
+    ap.add_argument("GTF")
+    ap.add_argument("VCF")
+    ap.add_argument("-o", dest="outdir", default=".")
+    ap.add_argument("-a", dest="aggressive", action="store_true", help="aggressive prune (hp=1)")
+    ap.add_argument("-r", dest="reduce", action="store_true", help="reduce instead of prune (hp=2)")
+    ap.add_argument("-t", dest="threads", type=int, default=8)
+    args = ap.parse_args(argv)
+    from pantas_tpu.build.pipeline import build_pangenome
+
+    hp = 1 if args.aggressive else (2 if args.reduce else 0)
+    build_pangenome(
+        args.FA, args.GTF, args.VCF, args.outdir, hp=hp, threads=args.threads
+    )
+    return 0
+
+
+def _cmd_augment(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu augment")
+    ap.add_argument("GAF")
+    ap.add_argument("GFA")
+    ap.add_argument("thr", nargs="?", type=int, default=20, help="mapq threshold")
+    args = ap.parse_args(argv)
+    from pantas_tpu.coverage import augment_gfa
+
+    augment_gfa(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr)
+    return 0
+
+
+def _cmd_call(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu call")
+    ap.add_argument("GFA")
+    ap.add_argument("GTF")
+    ap.add_argument("--rca", "-w", dest="rca", type=int, default=-1)
+    ap.add_argument("--novel", "-n", dest="novel", action="store_true")
+    ap.add_argument("--no-annotated", "-a", dest="no_annotated", action="store_true")
+    ap.add_argument("--events", "-e", dest="events", nargs="+", default=["ES", "SS", "IR"])
+    ap.add_argument("--isw", "-i", dest="isw", type=int, default=5)
+    ap.add_argument("--minintronsize", "-l", dest="minintronsize", type=int, default=100)
+    ap.add_argument("--junction", dest="junction", type=str, default=None)
+    ap.add_argument("--debug", dest="debug", action="store_true")
+    args = ap.parse_args(argv)
+    from pantas_tpu.events import CallOptions, call_events
+
+    events = []
+    for e in args.events:
+        events.extend(e.split(","))
+    opts = CallOptions(
+        rca=args.rca,
+        novel=args.novel,
+        no_annotated=args.no_annotated,
+        events=events,
+        isw=args.isw,
+        minintronsize=args.minintronsize,
+        junction=args.junction,
+        debug=args.debug,
+    )
+    for row in call_events(args.GFA, args.GTF, opts):
+        print(row)
+    return 0
+
+
+def _cmd_quant(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu quant")
+    ap.add_argument("-a", dest="report_all", action="store_true", help="report one-sided events")
+    ap.add_argument("-w", dest="w", type=int, default=0)
+    ap.add_argument("--c1", dest="c1", nargs="+", default=None)
+    ap.add_argument("--c2", dest="c2", nargs="+", default=None)
+    ap.add_argument("csvs", nargs="*", help="C1 replicates then C2 replicates")
+    args = ap.parse_args(argv)
+    from pantas_tpu.quant import quantify
+
+    if args.c1 and args.c2:
+        c1, c2 = args.c1, args.c2
+    else:
+        if len(args.csvs) % 2 != 0:
+            print("ERROR: Wrong number of replicates.", file=sys.stderr)
+            return 1
+        half = len(args.csvs) // 2
+        c1, c2 = args.csvs[:half], args.csvs[half:]
+    if len(c1) != len(c2):
+        print("Provide the same number of replicates for each condition", file=sys.stderr)
+        return 1
+    # reference driver default is --both; -a reports one-sided events too
+    quantify(c1, c2, both=not args.report_all, min_w=args.w, out=sys.stdout)
+    return 0
+
+
+def _cmd_remap(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu remap")
+    ap.add_argument("CSV")
+    ap.add_argument("GTF")
+    ap.add_argument("-i", dest="min_intron_size", type=int, default=100)
+    args = ap.parse_args(argv)
+    from pantas_tpu.remap import remap
+
+    remap(args.CSV, args.GTF, min_intron_size=args.min_intron_size, out=sys.stdout)
+    return 0
+
+
+def _cmd_map(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu map")
+    ap.add_argument("GFA")
+    ap.add_argument("FQ1")
+    ap.add_argument("FQ2", nargs="?", default=None)
+    ap.add_argument("-k", dest="k", type=int, default=21, help="seed k-mer size")
+    args = ap.parse_args(argv)
+    from pantas_tpu.mapping.mapper import map_reads
+
+    map_reads(args.GFA, args.FQ1, args.FQ2, k=args.k, out=sys.stdout)
+    return 0
+
+
+_COMMANDS = {
+    "build": _cmd_build,
+    "augment": _cmd_augment,
+    "call": _cmd_call,
+    "quant": _cmd_quant,
+    "remap": _cmd_remap,
+    "map": _cmd_map,
+}
+
+_USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
+
+    build       build and annotate a spliced pangenome
+    augment     augment an annotated spliced pangenome using alignments information
+    call        call events from single replicate
+    quant       quantify events comparing conditions
+    remap       remap events to reference haplotype
+    map         align reads to the spliced pangenome (GAF output)
+    version     print the version
+"""
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(_USAGE, file=sys.stderr)
+        return 1
+    mode, rest = argv[0], argv[1:]
+    if mode == "version":
+        print(f"pantas-tpu, {__version__}")
+        return 0
+    fn = _COMMANDS.get(mode)
+    if fn is None:
+        print(_USAGE, file=sys.stderr)
+        return 1
+    return fn(rest)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,789 @@
+"""Alternative-splicing event caller.
+
+Behavioral contract: ``scripts/call.py`` of the reference. Every emitted CSV
+row matches the reference caller on the same (augmented GFA, GTF) inputs.
+Row *order* is not part of the contract — the reference iterates hash-ordered
+sets of junctions, so its own row order is PYTHONHASHSEED-dependent
+(``call.py:240,531``); equality is defined on the row multiset.
+
+Deliberately preserved reference quirks (each marked QUIRK below):
+
+* node-id comparisons are lexicographic on the string ids
+  (``call.py:477,494,848,961,1038``),
+* the ``--junction`` filter in the annotated pass compares against the
+  literal string ``"f{_j[0]}-{_j[1]}"`` — a broken f-string — so it never
+  matches real junctions (``call.py:241``),
+* the IR path walk appends the *last* outgoing neighbor when no neighbor
+  satisfies the exon-continuation condition (for-loop fallthrough,
+  ``call.py:492-497``),
+* in the novel-SS pass, loop variables ``p``/``n`` leak across blocks and
+  junction iterations (``call.py:630,685``); we mirror their lifetimes,
+* intronic search is a hash-ordered frontier ``set.pop()`` walk, not a true
+  BFS (``call.py:739-751``).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from itertools import product
+from math import ceil
+from typing import Dict, Iterator, List, Optional, Sequence, Set, Tuple
+
+from pantas_tpu.io.gtf import parse_transcript_maps
+
+Jct = Tuple[str, str]
+
+CSV_HEADER = ",".join(
+    [
+        "event_type",
+        "annotated/novel",
+        "chrom",
+        "gene",
+        "strand",
+        "transcripts1",
+        "transcripts2",
+        "transcripts3",
+        "nodes1",
+        "coverage1",
+        "nodes2",
+        "coverage2",
+        "nodes3",
+        "coverage3",
+    ]
+)
+
+
+@dataclass
+class CallOptions:
+    rca: int = -1
+    novel: bool = False
+    no_annotated: bool = False
+    events: Sequence[str] = ("ES", "SS", "IR")
+    isw: int = 5
+    minintronsize: int = 100
+    junction: Optional[str] = None
+    debug: bool = False
+
+
+@dataclass
+class SegInfo:
+    exons: List[str] = field(default_factory=list)
+    length: int = 0
+    nc: Optional[int] = None  # None == no NC tag (un-augmented graph)
+    incoming: List[str] = field(default_factory=list)  # link file order
+    outgoing: List[str] = field(default_factory=list)
+
+
+@dataclass
+class LinkInfo:
+    rc: Optional[int] = None
+    jn: List[str] = field(default_factory=list)
+    novel: bool = False
+
+
+class SplicingGraph:
+    """Caller view of an augmented spliced pangenome."""
+
+    def __init__(self) -> None:
+        self.seg: Dict[str, SegInfo] = {}
+        self.link: Dict[Jct, LinkInfo] = {}
+        self.junctions: Set[Jct] = set()
+        self.novel_junctions: Set[Jct] = set()
+
+    @classmethod
+    def from_gfa(cls, gfa_path: str) -> "SplicingGraph":
+        g = cls()
+        for line in open(gfa_path):
+            line = line.strip()
+            if line.startswith("S"):
+                _, nid, seq, *fields = line.split()
+                info = SegInfo(length=len(seq))
+                for f in fields:
+                    name, _, value = f.split(":", 2)
+                    if name == "EX":
+                        info.exons = value.split(",")
+                    elif name == "NC":
+                        info.nc = int(value)
+                g.seg[nid] = info
+            elif line.startswith("L"):
+                _, a, _, b, _, _, *fields = line.split()
+                li = LinkInfo()
+                for f in fields:
+                    name, _, value = f.split(":", 2)
+                    if name == "RC":
+                        li.rc = int(value)
+                    elif name == "JN":
+                        li.jn = value.split(",")
+                    elif name == "ID":
+                        li.novel = True
+                g.link[(a, b)] = li
+                g.seg[a].outgoing.append(b)
+                g.seg[b].incoming.append(a)
+                if li.jn:
+                    g.junctions.add((a, b))
+                if li.novel:
+                    g.novel_junctions.add((a, b))
+        return g
+
+    # --- small accessors matching reference helper semantics ---
+
+    def exset(self, nid: Optional[str]) -> Set[str]:
+        info = self.seg.get(nid) if nid is not None else None
+        return set(info.exons) if info is not None and info.exons else set()
+
+    def nc(self, nid: str) -> int:
+        v = self.seg[nid].nc
+        if v is None:
+            raise KeyError(f"segment {nid} has no NC tag (graph not augmented?)")
+        return v
+
+    def rc(self, j: Jct) -> int:
+        v = self.link[j].rc
+        if v is None:
+            raise KeyError(f"link {j} has no RC tag (graph not augmented?)")
+        return v
+
+    def out(self, nid: str) -> List[str]:
+        return self.seg[nid].outgoing
+
+    def inc(self, nid: str) -> List[str]:
+        return self.seg[nid].incoming
+
+
+# --- haplotype-aware transcript name algebra (reference call.py:90-121) ---
+# A junction label is "T_H.e1.e2", an exon label is "T_H.e"; T may itself
+# contain '_' and the haplotype tag H is the last '_' token.
+
+
+def _split_ht(ht: str) -> Tuple[str, str]:
+    parts = ht.split("_")
+    return "_".join(parts[:-1]), parts[-1]
+
+
+def hts_of_junction(labels: Sequence[str]) -> Dict[str, Set[str]]:
+    out: Dict[str, Set[str]] = {}
+    for lab in labels:
+        t, h = _split_ht(".".join(lab.split(".")[:-2]))
+        out.setdefault(t, set()).add(h)
+    return out
+
+
+def hts_of_exon(label: str) -> Dict[str, Set[str]]:
+    t, h = _split_ht(".".join(label.split(".")[:-1]))
+    return {t: {h}}
+
+
+def hts_of_exons(labels) -> Dict[str, Set[str]]:
+    out: Dict[str, Set[str]] = {}
+    for lab in labels:
+        t, h = _split_ht(".".join(lab.split(".")[:-1]))
+        out.setdefault(t, set()).add(h)
+    return out
+
+
+def transcript_of_label(label: str) -> str:
+    """Junction/exon label -> transcript id (drops the trailing hap tag).
+
+    QUIRK: the reference filters printable labels with
+    ``"_".join(x.split("_")[:-1])`` applied to the FULL label (exon numbers
+    still attached), which works because the exon suffix rides on the last
+    '_' token (``call.py:356,364``).
+    """
+    return "_".join(label.split("_")[:-1])
+
+
+def _row(*fields) -> str:
+    return ",".join(str(x) for x in fields)
+
+
+def call_events(
+    gfa_path: str,
+    gtf_path: str,
+    opts: CallOptions,
+    log=sys.stderr,
+) -> Iterator[str]:
+    """Yield event CSV lines (header first) for one augmented replicate."""
+    graph = SplicingGraph.from_gfa(gfa_path)
+    t2g, genestrand, genechr = parse_transcript_maps(gtf_path)
+    yield CSV_HEADER
+    if not opts.no_annotated:
+        yield from _call_annotated(graph, t2g, genestrand, genechr, opts, log)
+    if opts.novel:
+        yield from _call_novel(graph, t2g, genestrand, genechr, opts, log)
+
+
+def _genes_of_hts(hts: Dict[str, Set[str]], t2g: Dict[str, str]) -> Set[str]:
+    return set(t2g[t] for t in hts)
+
+
+def _same_gene_exons(exons: Set[str], genes: Set[str], t2g) -> Set[str]:
+    return set(e for e in exons if len(genes & _genes_of_hts(hts_of_exon(e), t2g)) > 0)
+
+
+def _call_annotated(
+    g: SplicingGraph, t2g, genestrand, genechr, opts: CallOptions, log
+) -> Iterator[str]:
+    for _j in g.junctions:
+        # QUIRK: broken f-string filter preserved verbatim.
+        if opts.junction is not None and "f{_j[0]}-{_j[1]}" != opts.junction:
+            continue
+        if g.rc(_j) < opts.rca:
+            continue
+        jn = g.link[_j].jn
+        _ht = hts_of_junction(jn)
+        _genes = _genes_of_hts(_ht, t2g)
+        if len(_genes) > 1:
+            continue
+        _gene = next(iter(_genes))
+        _exons1 = _same_gene_exons(g.exset(_j[0]), _genes, t2g)
+        _exons2 = _same_gene_exons(g.exset(_j[1]), _genes, t2g)
+        assert len(_exons1) > 0 and len(_exons2) > 0
+
+        Js1 = set(x for x in g.junctions if x[0] == _j[0]) - set([_j])
+        Js2 = set(x for x in g.junctions if x[1] == _j[1]) - set([_j])
+        Js1 = set(
+            x
+            for x in Js1
+            if len(_genes & _genes_of_hts(hts_of_junction(g.link[x].jn), t2g)) > 0
+        )
+        Js2 = set(
+            x
+            for x in Js2
+            if len(_genes & _genes_of_hts(hts_of_junction(g.link[x].jn), t2g)) > 0
+        )
+
+        strand = genestrand[_gene]
+        chrom = genechr[_gene]
+
+        if "ES" in opts.events:
+            for j1, j2 in product(Js1, Js2):
+                ht1 = hts_of_junction(g.link[j1].jn)
+                ht2 = hts_of_junction(g.link[j2].jn)
+                inclusion = (set(ht1) & set(ht2)) - set(_ht)
+                if not inclusion:
+                    continue
+                exons1_2 = g.exset(j1[1])
+                exons2_1 = g.exset(j2[0])
+                if len((exons1_2 | exons2_1) - (_exons1 | _exons2)) > 0:
+                    yield _row(
+                        "ES",
+                        "annotated",
+                        chrom,
+                        _gene,
+                        strand,
+                        "|".join(jn),
+                        "|".join(
+                            x for x in g.link[j1].jn if transcript_of_label(x) in inclusion
+                        ),
+                        "|".join(
+                            x for x in g.link[j2].jn if transcript_of_label(x) in inclusion
+                        ),
+                        ">".join(_j),
+                        g.rc(_j),
+                        ">".join(j1),
+                        g.rc(j1),
+                        ">".join(j2),
+                        g.rc(j2),
+                    )
+
+        if "SS" in opts.events:
+            # A5 on '+' / A3 on '-': exon continues past the donor.
+            if len(Js2) != 0:
+                for n in g.out(_j[0]):
+                    if n == _j[1]:
+                        continue
+                    exons = g.exset(n) & _exons1
+                    if not exons:
+                        continue
+                    for j2 in Js2:
+                        if j2[0] == _j[0]:
+                            continue
+                        j2_exons = g.exset(j2[0]) & exons
+                        if not j2_exons:
+                            continue
+                        ht = hts_of_exons(j2_exons)
+                        if len(set(ht) - set(_ht)) == 0:
+                            continue
+                        assert len(set(jn) & set(g.link[j2].jn)) == 0
+                        yield _row(
+                            "A5" if strand == "+" else "A3",
+                            "annotated",
+                            chrom,
+                            _gene,
+                            strand,
+                            "|".join(jn),
+                            "|".join(g.link[j2].jn),
+                            ".",
+                            ">".join(_j),
+                            g.rc(_j),
+                            ">".join(j2),
+                            g.rc(j2),
+                            ".",
+                            ".",
+                        )
+            # A3 on '+' / A5 on '-': exon continues before the acceptor.
+            if len(Js1) != 0:
+                for n in g.inc(_j[1]):
+                    if n == _j[0]:
+                        continue
+                    exons = g.exset(n) & _exons2
+                    if not exons:
+                        continue
+                    for j1 in Js1:
+                        if j1[1] == _j[1]:
+                            continue
+                        j1_exons = g.exset(j1[1]) & exons
+                        if not j1_exons:
+                            continue
+                        ht = hts_of_exons(j1_exons)
+                        if len(set(ht) - set(_ht)) == 0:
+                            continue
+                        yield _row(
+                            "A3" if strand == "+" else "A5",
+                            "annotated",
+                            chrom,
+                            _gene,
+                            strand,
+                            "|".join(jn),
+                            "|".join(g.link[j1].jn),
+                            ".",
+                            ">".join(_j),
+                            g.rc(_j),
+                            ">".join(j1),
+                            g.rc(j1),
+                            ".",
+                            ".",
+                        )
+
+        if "IR" in opts.events:
+            nnext = g.out(_j[0])
+            nprev = g.inc(_j[1])
+            exons = _exons1 & _exons2
+            retained: Dict[str, Set[str]] = {}
+            subpath: List[str] = []
+            for n1, n2 in product(nnext, nprev):
+                if n1 == _j[1] or n2 == _j[0]:
+                    continue
+                if n2 < n1:  # QUIRK: lexicographic on string ids
+                    continue
+                i_exons = g.exset(n1) & g.exset(n2) & exons
+                if not i_exons:
+                    continue
+                e = next(iter(i_exons))
+                n = n1
+                subpath = [n]
+                while n != n2:
+                    nn = "-1"
+                    for nn in g.out(n):
+                        # QUIRK: falls through to the last neighbor if none match
+                        if nn <= n2 and e in g.exset(nn):
+                            break
+                    assert nn != "-1", "Error while reconstructing IR path"
+                    subpath.append(nn)
+                    n = nn
+                retained = hts_of_exons(i_exons)
+                break
+
+            if retained:
+                cov = ceil(sum(g.nc(x) for x in subpath) / len(subpath))
+                yield _row(
+                    "IR",
+                    "annotated",
+                    chrom,
+                    _gene,
+                    strand,
+                    "|".join(jn),
+                    ".",
+                    ".",
+                    ">".join(_j),
+                    g.rc(_j),
+                    ">".join(subpath),
+                    cov,
+                    ".",
+                    ".",
+                )
+
+
+def _call_novel(
+    g: SplicingGraph, t2g, genestrand, genechr, opts: CallOptions, log
+) -> Iterator[str]:
+    events = opts.events
+    # QUIRK: p and n mirror the reference's leaked loop variables
+    # (call.py:630,685): their values persist across blocks AND across
+    # junction iterations.
+    p: Optional[str] = None
+
+    for _j in g.novel_junctions:
+        if opts.junction is not None and f"{_j[0]}-{_j[1]}" != opts.junction:
+            continue
+        if g.rc(_j) < opts.rca:
+            continue
+        _exons0 = g.exset(_j[0])
+        _exons1 = g.exset(_j[1])
+        if len(_exons0) == 0 and len(_exons1) == 0:
+            continue
+        _ht0 = hts_of_exons(_exons0)
+        _ht1 = hts_of_exons(_exons1)
+        cap = set(_ht0) & set(_ht1)
+        _next0 = g.out(_j[0])
+        _prev1 = g.inc(_j[1])
+
+        if "ES" in events:
+            if _exons0 and _exons1 and len(_exons0 & _exons1) != len(_exons0):
+                nodes1 = [n for n in _next0 if (_j[0], n) in g.junctions]
+                nodes2 = [q for q in _prev1 if (q, _j[1]) in g.junctions]
+                if nodes1 and nodes2:
+                    for n, q in product(nodes1, nodes2):
+                        j1 = (_j[0], n)
+                        j2 = (q, _j[1])
+                        nht = hts_of_junction(g.link[j1].jn)
+                        pht = hts_of_junction(g.link[j2].jn)
+                        inclusion = set(nht) & set(pht)
+                        if not inclusion:
+                            continue
+                        _genes = set(t2g[t] for t in inclusion)
+                        if len(_genes) > 1:
+                            print("Skipping ES due to multiple genes", file=log)
+                            continue
+                        _gene = next(iter(_genes))
+                        yield _row(
+                            "ES",
+                            "novel",
+                            genechr[_gene],
+                            _gene,
+                            genestrand[_gene],
+                            "?",
+                            "|".join(
+                                x
+                                for x in g.link[j1].jn
+                                if transcript_of_label(x) in inclusion
+                            ),
+                            "|".join(
+                                x
+                                for x in g.link[j2].jn
+                                if transcript_of_label(x) in inclusion
+                            ),
+                            ">".join(_j),
+                            g.rc(_j),
+                            ">".join(j1),
+                            g.rc(j1),
+                            ">".join(j2),
+                            g.rc(j2),
+                        )
+
+        if "SS" in events:
+            if cap:
+                # exonic A3+/A5-: does the novel junction splice into exon body?
+                spliced_exons: Set[str] = set()
+                if _j[0] in g.inc(_j[1]):
+                    spliced_exons = _exons1
+                else:
+                    for p in _prev1:  # QUIRK: last iteration wins; p leaks
+                        spliced_exons = g.exset(p) & _exons1
+                if spliced_exons:
+                    annotated_js = []
+                    for n in _next0:
+                        exons_n = g.exset(n) & spliced_exons
+                        if not exons_n:
+                            continue
+                        ht_n = hts_of_exons(exons_n)
+                        if (_j[0], n) in g.junctions and set(ht_n) & cap:
+                            annotated_js.append([(_j[0], n), set(ht_n) & cap])
+                    for j1, transcripts in annotated_js:
+                        _genes = set(t2g[t] for t in transcripts)
+                        if len(_genes) > 1:
+                            print("Skipping SS due to multiple genes", file=log)
+                            continue
+                        _gene = next(iter(_genes))
+                        yield _row(
+                            "A3" if genestrand[_gene] == "+" else "A5",
+                            "novel",
+                            genechr[_gene],
+                            _gene,
+                            genestrand[_gene],
+                            "?",
+                            "|".join(g.link[j1].jn),
+                            ".",
+                            ">".join(_j),
+                            g.rc(_j),
+                            ">".join(j1),
+                            g.rc(j1),
+                            ".",
+                            ".",
+                        )
+                # exonic A5+/A3-
+                spliced_exons = set()
+                if _j[1] in g.out(_j[0]):
+                    spliced_exons = _exons0
+                else:
+                    for n in _next0:
+                        # QUIRK: reference consults exset(p) here — the leaked
+                        # variable from the previous block — not exset(n).
+                        spliced_exons = g.exset(p) & _exons0
+                if spliced_exons:
+                    annotated_js = []
+                    for p in _prev1:
+                        exons_p = g.exset(p) & spliced_exons
+                        if not exons_p:
+                            continue
+                        ht_p = hts_of_exons(exons_p)
+                        if (p, _j[1]) in g.junctions and set(ht_p) & cap:
+                            annotated_js.append([(p, _j[1]), set(ht_p) & cap])
+                    for j1, transcripts in annotated_js:
+                        _genes = set(t2g[t] for t in transcripts)
+                        if len(_genes) > 1:
+                            print("Skipping SS due to multiple genes", file=log)
+                            continue
+                        _gene = next(iter(_genes))
+                        yield _row(
+                            "A5" if genestrand[_gene] == "+" else "A3",
+                            "novel",
+                            genechr[_gene],
+                            _gene,
+                            genestrand[_gene],
+                            "?",
+                            "|".join(g.link[j1].jn),
+                            ".",
+                            ">".join(_j),
+                            g.rc(_j),
+                            ">".join(j1),
+                            g.rc(j1),
+                            ".",
+                            ".",
+                        )
+            # intronic SS: one end exonic, walk into the intron
+            if len(_exons0) > 0 and len(_exons1) == 0:
+                exonic_next = set(n for n in _next0 if (_j[0], n) in g.junctions)
+                found = _frontier_search(g, _j[1], exonic_next, opts.isw, forward=True)
+                if found is not None:
+                    j1 = (_j[0], found)
+                    _genes = _genes_of_hts(hts_of_junction(g.link[j1].jn), t2g)
+                    if len(_genes) > 1:
+                        print("Skipping SS due to multiple genes", file=log)
+                    else:
+                        _gene = next(iter(_genes))
+                        yield _row(
+                            "A3" if genestrand[_gene] == "+" else "A5",
+                            "novel",
+                            genechr[_gene],
+                            _gene,
+                            genestrand[_gene],
+                            "|".join(g.link[j1].jn),
+                            "?",
+                            ".",
+                            ">".join(j1),
+                            g.rc(j1),
+                            ">".join(_j),
+                            g.rc(_j),
+                            ".",
+                            ".",
+                        )
+            elif len(_exons0) == 0 and len(_exons1) > 0:
+                exonic_prev = set(q for q in _prev1 if (q, _j[1]) in g.junctions)
+                found = _frontier_search(g, _j[0], exonic_prev, opts.isw, forward=False)
+                if found is not None:
+                    j1 = (found, _j[1])
+                    _genes = _genes_of_hts(hts_of_junction(g.link[j1].jn), t2g)
+                    if len(_genes) > 1:
+                        print("Skipping SS due to multiple genes", file=log)
+                    else:
+                        _gene = next(iter(_genes))
+                        yield _row(
+                            "A3" if genestrand[_gene] == "+" else "A5",
+                            "novel",
+                            genechr[_gene],
+                            _gene,
+                            genestrand[_gene],
+                            "|".join(g.link[j1].jn),
+                            "?",
+                            ".",
+                            ">".join(j1),
+                            g.rc(j1),
+                            ">".join(_j),
+                            g.rc(_j),
+                            ".",
+                            ".",
+                        )
+
+        if "IR" in events:
+            if cap:
+                exons = _exons0 & _exons1
+                if exons:
+                    subpath = [_j[0]]
+                    while subpath[-1] != _j[1]:
+                        nn = "-1"
+                        for nn in g.out(subpath[-1]):
+                            if nn <= _j[1] and len(exons & g.exset(nn)):
+                                break
+                        assert nn != "-1", "Error while reconstructing novel IR path"
+                        subpath.append(nn)
+                    if sum(g.seg[x].length for x in subpath) >= opts.minintronsize:
+                        retained = hts_of_exons(exons)
+                        _genes = set(t2g[t] for t in retained)
+                        if len(_genes) > 1:
+                            print("Skipping novel IR due to multiple genes", file=log)
+                        else:
+                            _gene = next(iter(_genes))
+                            cov = ceil(sum(g.nc(x) for x in subpath) / len(subpath))
+                            yield _row(
+                                "IR",
+                                "novel",
+                                genechr[_gene],
+                                _gene,
+                                genestrand[_gene],
+                                "?",
+                                "|".join(exons),
+                                ".",
+                                ">".join(_j),
+                                g.rc(_j),
+                                ">".join(subpath),
+                                cov,
+                                ".",
+                                ".",
+                            )
+
+    if "IR" in events or "ES" in events:
+        # second pass over ANNOTATED junctions: novel CE and novel IR-2
+        for _j in g.junctions:
+            if opts.junction is not None and f"{_j[0]}-{_j[1]}" != opts.junction:
+                continue
+            if g.rc(_j) < opts.rca:
+                continue
+            jn = g.link[_j].jn
+            _ht = hts_of_junction(jn)
+            _genes = _genes_of_hts(_ht, t2g)
+            if len(_genes) > 1:
+                continue
+            _gene = next(iter(_genes))
+            _exons0 = _same_gene_exons(g.exset(_j[0]), _genes, t2g)
+            _exons1 = _same_gene_exons(g.exset(_j[1]), _genes, t2g)
+            assert len(_exons0) > 0 and len(_exons1) > 0
+
+            Js1 = set(x for x in g.novel_junctions if x[0] == _j[0]) - set([_j])
+            Js2 = set(x for x in g.novel_junctions if x[1] == _j[1]) - set([_j])
+
+            if "ES" in events:
+                if len(Js1) > 0 and len(Js2) > 0:
+                    novel_exons = set()
+                    for j1, j2 in product(Js1, Js2):
+                        if j1[1] <= j2[0]:  # QUIRK: lexicographic
+                            novel_exons.add((j1[1], j2[0]))
+                    for es, ee in novel_exons:
+                        j1 = (_j[0], es)
+                        j2 = (ee, _j[1])
+                        yield _row(
+                            "CE",
+                            "novel",
+                            genechr[_gene],
+                            _gene,
+                            genestrand[_gene],
+                            "|".join(jn),
+                            "?",
+                            "?",
+                            ">".join(_j),
+                            g.rc(_j),
+                            ">".join(j1),
+                            g.rc(j1),
+                            ">".join(j2),
+                            g.rc(j2),
+                        )
+
+            if "IR" in events:
+                # a few edges past each end (tolerating variation nodes)
+                head_ok = any(
+                    g.rc((_j[0], str(x))) >= opts.rca
+                    for x in range(int(_j[0]) + 1, int(_j[0]) + 4)
+                    if (_j[0], str(x)) in g.link and (_j[0], str(x)) not in g.junctions
+                )
+                tail_ok = any(
+                    g.rc((str(x), _j[1])) >= opts.rca
+                    for x in range(int(_j[1]) - 3, int(_j[1]))
+                    if (str(x), _j[1]) in g.link and (str(x), _j[1]) not in g.junctions
+                )
+                if head_ok and tail_ok:
+                    exons0_end = [
+                        e
+                        for e in _exons0
+                        if all(e not in g.exset(x) for x in g.out(_j[0]))
+                    ]
+                    exons1_start = [
+                        e
+                        for e in _exons1
+                        if all(e not in g.exset(x) for x in g.inc(_j[1]))
+                    ]
+                    exon_pairs = [
+                        (e0, e1)
+                        for (e0, e1) in product(exons0_end, exons1_start)
+                        if len(set(hts_of_exon(e0)) & set(hts_of_exon(e1))) > 0
+                    ]
+                    if exon_pairs:
+                        subpath = [_j[0]]
+                        while subpath[-1] != _j[1]:
+                            onodes = [x for x in g.out(subpath[-1]) if x <= _j[1]]
+                            if len(subpath) == 1:
+                                onodes.remove(_j[1])
+                            if _j[1] in onodes:
+                                subpath.append(_j[1])
+                            else:
+                                onodes = [x for x in onodes if len(g.out(x)) > 0]
+                                best = max(onodes, key=lambda x: g.nc(x))
+                                subpath.append(best)
+                        if (
+                            sum(g.seg[x].length for x in subpath[1:-1])
+                            >= opts.minintronsize
+                        ):
+                            retained = hts_of_exons([ep[0] for ep in exon_pairs])
+                            _genes = set(t2g[t] for t in retained)
+                            if len(_genes) > 1:
+                                print("Skipping novel IR due to multiple genes", file=log)
+                            else:
+                                _gene = next(iter(_genes))
+                                jann = "|".join(
+                                    e1 + "." + e2.split(".")[-1] for e1, e2 in exon_pairs
+                                )
+                                cov = ceil(
+                                    sum(g.nc(x) for x in subpath) / len(subpath)
+                                )
+                                yield _row(
+                                    "IR",
+                                    "novel",
+                                    genechr[_gene],
+                                    _gene,
+                                    genestrand[_gene],
+                                    jann,
+                                    "?",
+                                    ".",
+                                    ">".join(subpath),
+                                    cov,
+                                    ">".join(_j),
+                                    g.rc(_j),
+                                    ".",
+                                    ".",
+                                )
+
+
+def _frontier_search(
+    g: SplicingGraph, start: str, targets: Set[str], isw: int, forward: bool
+) -> Optional[str]:
+    """Hash-ordered frontier walk bounded by ``isw`` levels.
+
+    Mirrors the reference intronic search (``call.py:734-751``): a set-pop
+    pseudo-BFS whose level counter advances when the sampled frontier size
+    hits zero. Returns the reached target node or None.
+    """
+    visit = set([start])
+    pvisitl = 1
+    _i = 0
+    while len(visit & targets) == 0 and _i < isw:
+        if len(visit) == 0:
+            return None
+        n = visit.pop()
+        pvisitl -= 1
+        visit |= set(g.out(n) if forward else g.inc(n))
+        if pvisitl == 0:
+            _i += 1
+            pvisitl = len(visit)
+    if _i < isw:
+        return next(iter(visit & targets))
+    return None
