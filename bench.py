@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Benchmark: augment-stage throughput (GAF reads/s) vs the reference.
+
+Workload: the example/4 pangenome built by OUR build layer, with the 500
+example read alignments (produced by OUR mapper) replicated to ~1M GAF
+records. Baseline = the reference's single-thread Python augmenter on the
+same inputs (measured here — the reference publishes no numbers, see
+BASELINE.md). Ours = the native coverage engine, end-to-end stage time
+(tensorize + GAF loop + byte-identical GFA emission).
+
+Prints ONE JSON line:
+  {"metric": "augment_reads_per_s", "value": N, "unit": "reads/s", "vs_baseline": R}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+CACHE = REPO / ".bench"
+EXAMPLE = Path("/root/reference/example")
+REF_AUG = Path("/root/reference/scripts/alignments_augmentation_from_gaf.py")
+
+MULTIPLIER = 2000  # 500 alignments -> 1M records
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def ensure_workload():
+    CACHE.mkdir(exist_ok=True)
+    gfa = CACHE / "pantranscriptome-annotated.gfa"
+    gaf = CACHE / "sample.gaf"
+    big = CACHE / "big.gaf"
+    if not gfa.exists():
+        log("building example/4 pangenome (one-time)")
+        from pantas_tpu.build.pipeline import build_pangenome
+
+        build_pangenome(
+            str(EXAMPLE / "4.fa"),
+            str(EXAMPLE / "4.gtf"),
+            str(EXAMPLE / "4.vcf.gz"),
+            str(CACHE),
+        )
+    if not gaf.exists():
+        log("mapping example reads (one-time)")
+        from pantas_tpu.mapping.mapper import map_reads
+
+        with open(gaf, "w") as out:
+            map_reads(
+                str(gfa),
+                str(EXAMPLE / "reads_1.fq"),
+                str(EXAMPLE / "reads_2.fq"),
+                out=out,
+            )
+    if not big.exists():
+        log(f"replicating GAF x{MULTIPLIER}")
+        data = gaf.read_bytes()
+        with open(big, "wb") as out:
+            for _ in range(MULTIPLIER):
+                out.write(data)
+    n_reads = sum(1 for _ in open(big))
+    return gfa, big, n_reads
+
+
+def bench_reference(gfa, big, n_reads):
+    log("timing reference augmenter..")
+    t0 = time.time()
+    with open(os.devnull, "w") as devnull:
+        subprocess.run(
+            [sys.executable, str(REF_AUG), str(big), str(gfa)],
+            stdout=devnull,
+            stderr=subprocess.DEVNULL,
+            check=True,
+        )
+    dt = time.time() - t0
+    log(f"reference: {n_reads} reads in {dt:.2f}s = {n_reads / dt:.0f} reads/s")
+    return n_reads / dt
+
+
+def bench_native(gfa, big, n_reads):
+    import io
+
+    from pantas_tpu.native import augment_gfa_native
+
+    log("timing native engine..")
+    t0 = time.time()
+    with open(os.devnull, "w") as devnull:
+        augment_gfa_native(str(big), str(gfa), out=devnull, log=io.StringIO())
+    dt = time.time() - t0
+    log(f"native: {n_reads} reads in {dt:.2f}s = {n_reads / dt:.0f} reads/s")
+    return n_reads / dt
+
+
+def main():
+    gfa, big, n_reads = ensure_workload()
+    ours = bench_native(gfa, big, n_reads)
+    try:
+        baseline = bench_reference(gfa, big, n_reads)
+    except Exception as e:  # reference unavailable: report ours alone
+        log(f"reference baseline unavailable: {e}")
+        baseline = None
+    result = {
+        "metric": "augment_reads_per_s",
+        "value": round(ours),
+        "unit": "reads/s",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,31 @@ def _cmd_augment(argv):
     ap.add_argument("GAF")
     ap.add_argument("GFA")
     ap.add_argument("thr", nargs="?", type=int, default=20, help="mapq threshold")
+    ap.add_argument(
+        "--engine",
+        choices=["auto", "host", "native", "device"],
+        default="auto",
+        help="coverage engine: native C++ (fastest host), device (TPU scatter-add), "
+        "host (pure python); auto prefers native",
+    )
     args = ap.parse_args(argv)
+
+    engine = args.engine
+    if engine in ("auto", "native"):
+        try:
+            from pantas_tpu.native import augment_gfa_native
+
+            augment_gfa_native(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr)
+            return 0
+        except Exception as e:
+            if engine == "native":
+                raise
+            print(f"[augment] native engine unavailable ({e}); falling back", file=sys.stderr)
+    if engine == "device":
+        from pantas_tpu.coverage.device import augment_gfa_device
+
+        augment_gfa_device(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr)
+        return 0
     from pantas_tpu.coverage import augment_gfa
 
     augment_gfa(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr)

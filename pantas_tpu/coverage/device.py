@@ -1,0 +1,192 @@
+"""Device-side coverage accumulation (the TPU augment engine).
+
+The per-read semantics stay on the host (:mod:`semantics`); what ships to
+the device is a flat stream of *count-slot indices* into one counts vector
+(layout ``[NC | IL | OL | RC]``, see :mod:`pantas_tpu.graph.compiler`). The
+whole augment stage is then a single scatter-add per batch, data-parallel
+across the mesh with one psum merge — integer adds are associative, so the
+result is bit-exact for any shard count.
+
+Byte-identical GFA emission is preserved by tracking first-seen orders
+(IL/OL offsets per node, novel edges) on the host while the counts live on
+device.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from pantas_tpu.coverage.host import CoverageCounts, emit_augmented_gfa
+from pantas_tpu.coverage.semantics import (
+    DEFAULT_MAPQ_THR,
+    REJECTED,
+    SKIPPED,
+    ReadEvents,
+    read_events,
+)
+from pantas_tpu.graph.compiler import GraphTensors
+from pantas_tpu.io.gaf import parse_gaf_line
+
+
+class SlotEncoder:
+    """Convert ReadEvents into count-slot indices + host-side order tracking."""
+
+    def __init__(self, tensors: GraphTensors):
+        self.t = tensors
+        self.slots: List[int] = []
+        # first-seen orders for byte-identical emission
+        self.il_seen: Dict[int, Dict[int, None]] = {}
+        self.ol_seen: Dict[int, Dict[int, None]] = {}
+        self.novel: Dict[Tuple[int, int], int] = {}
+        self.novel_order: List[Tuple[int, int]] = []
+        self.rejected = 0
+        self.skipped = 0
+        self.accepted = 0
+
+    def add(self, ev: ReadEvents) -> None:
+        t = self.t
+        idx = t.node_index
+        slots = self.slots
+        for name in ev.nodes:
+            slots.append(idx[name])
+        for name, off in ev.il:
+            ni = idx[name]
+            slots.append(int(t.il_base[ni]) + off)
+            self.il_seen.setdefault(ni, {}).setdefault(off)
+        for name, off in ev.ol:
+            ni = idx[name]
+            slots.append(int(t.ol_base[ni]) + off)
+            self.ol_seen.setdefault(ni, {}).setdefault(off)
+        for a, b in ev.edges:
+            ai, bi = idx[a], idx[b]
+            e = t.edge_lookup(ai, bi)
+            if e >= 0:
+                slots.append(t.rc_base + e)
+            else:
+                key = (ai, bi)
+                if key not in self.novel:
+                    self.novel[key] = 0
+                    self.novel_order.append(key)
+                self.novel[key] += 1
+
+    def take_slots(self) -> np.ndarray:
+        arr = np.asarray(self.slots, dtype=np.int32)
+        self.slots = []
+        return arr
+
+
+class DeviceCoverage:
+    """Accumulate a slot stream on device(s); single-chip or data-parallel."""
+
+    def __init__(self, tensors: GraphTensors, mesh=None):
+        import jax
+        import jax.numpy as jnp
+
+        from pantas_tpu.parallel.mesh import (
+            data_parallel_scatter_add,
+            scatter_add_counts,
+        )
+
+        self.t = tensors
+        self.mesh = mesh
+        self._jnp = jnp
+        self.counts = jnp.zeros((tensors.total_slots,), dtype=jnp.int32)
+        if mesh is not None:
+            self.n_shards = mesh.devices.size
+            self._step = data_parallel_scatter_add(mesh)
+        else:
+            self.n_shards = 1
+            self._step = jax.jit(scatter_add_counts)
+
+    def add_slots(self, slots: np.ndarray) -> None:
+        from pantas_tpu.parallel.mesh import pad_to_multiple
+
+        if self.mesh is not None:
+            slots = pad_to_multiple(slots, self.n_shards)
+        self.counts = self._step(self.counts, self._jnp.asarray(slots))
+
+    def result(self) -> np.ndarray:
+        return np.asarray(self.counts)
+
+
+def counts_from_device(
+    tensors: GraphTensors, enc: SlotEncoder, flat: np.ndarray
+) -> CoverageCounts:
+    """Assemble host CoverageCounts (for emission) from the device vector."""
+    t = tensors
+    counts = CoverageCounts()
+    counts.rejected = enc.rejected
+    counts.skipped = enc.skipped
+    counts.accepted = enc.accepted
+    counts.node_len = {n: int(l) for n, l in zip(t.node_names, t.node_len)}
+
+    nc = flat[: t.n_nodes]
+    for ni in np.nonzero(nc)[0]:
+        counts.nc[t.node_names[ni]] = int(nc[ni])
+
+    for ni, seen in enc.il_seen.items():
+        base = int(t.il_base[ni])
+        counts.il[t.node_names[ni]] = {
+            off: int(flat[base + off]) for off in seen
+        }
+    for ni, seen in enc.ol_seen.items():
+        base = int(t.ol_base[ni])
+        counts.ol[t.node_names[ni]] = {
+            off: int(flat[base + off]) for off in seen
+        }
+
+    rc = flat[t.rc_base :]
+    for e in np.nonzero(rc)[0]:
+        a = t.node_names[int(t.edge_src[e])]
+        b = t.node_names[int(t.edge_dst[e])]
+        counts.edge[(a, b)] = int(rc[e])
+    for ai, bi in enc.novel_order:
+        counts.edge[(t.node_names[ai], t.node_names[bi])] = enc.novel[(ai, bi)]
+    return counts
+
+
+def augment_gfa_device(
+    gaf_path: str,
+    gfa_path: str,
+    out,
+    mapq_thr: int = DEFAULT_MAPQ_THR,
+    mesh=None,
+    flush_every: int = 1 << 20,
+    log=sys.stderr,
+) -> CoverageCounts:
+    """Full augment stage with device-side accumulation."""
+    from pantas_tpu.graph.compiler import compile_gfa
+
+    print("Read GFA (tensorize)", file=log)
+    tensors = compile_gfa(gfa_path)
+    node_len = {n: int(l) for n, l in zip(tensors.node_names, tensors.node_len)}
+
+    enc = SlotEncoder(tensors)
+    dev = DeviceCoverage(tensors, mesh=mesh)
+
+    print("Augmentation by GAF alignments (device scatter-add)", file=log)
+    with open(gaf_path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            ev = read_events(parse_gaf_line(line), node_len, mapq_thr)
+            if ev is REJECTED:
+                enc.rejected += 1
+            elif ev is SKIPPED:
+                enc.skipped += 1
+            else:
+                enc.accepted += 1
+                enc.add(ev)
+            if len(enc.slots) >= flush_every:
+                dev.add_slots(enc.take_slots())
+    if enc.slots:
+        dev.add_slots(enc.take_slots())
+
+    counts = counts_from_device(tensors, enc, dev.result())
+    print(f"Rejected alignments: {counts.rejected}", file=log)
+    print("Annotating GFA", file=log)
+    emit_augmented_gfa(gfa_path, counts, out)
+    return counts

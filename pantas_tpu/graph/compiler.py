@@ -1,0 +1,113 @@
+"""Compile an annotated GFA into dense tensors for device-side coverage.
+
+This replaces the reference's per-stage ad-hoc dict graph loads
+(``alignments_augmentation_from_gaf.py:120-126``, ``call.py:145-181``) with
+one immutable tensor bundle shared by the coverage engine and (later) the
+batched caller:
+
+* ``node_len[N]``           — segment lengths,
+* ``edge_key[E]`` (sorted)  — packed ``(src_idx << 32) | dst_idx`` edge keys
+  for O(log E) vectorized membership probes (the same packing the reference's
+  native annotator uses, ``annotate.cpp:14,131``),
+* ``il_base[N] / ol_base[N]`` — CSR bases of per-node offset histograms
+  (node i owns ``node_len[i] + 1`` slots per side, since link offsets range
+  over ``0..len``),
+* one flat ``counts`` vector layout: ``[NC | IL | OL | RC]`` so the entire
+  augment stage is a single scatter-add onto one array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+@dataclass
+class GraphTensors:
+    # identity
+    node_names: List[str]  # index -> GFA segment id
+    node_index: Dict[str, int]  # GFA segment id -> index
+    node_len: np.ndarray  # int32[N]
+    # edges, sorted by packed key; parallel arrays
+    edge_key: np.ndarray  # uint64[E], sorted
+    edge_src: np.ndarray  # int32[E] (node indices, aligned with edge_key)
+    edge_dst: np.ndarray  # int32[E]
+    # counts layout
+    il_base: np.ndarray  # int64[N] — base slot of node's IL histogram
+    ol_base: np.ndarray  # int64[N]
+    rc_base: int  # base slot of edge counts
+    total_slots: int  # len of the flat counts vector
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.node_len)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.edge_key)
+
+    def nc_slot(self, idx: int) -> int:
+        return idx
+
+    def edge_lookup(self, src_idx: int, dst_idx: int) -> int:
+        """Edge slot in the sorted table, or -1 if the edge is novel."""
+        key = np.uint64((src_idx << 32) | dst_idx)
+        pos = int(np.searchsorted(self.edge_key, key))
+        if pos < len(self.edge_key) and self.edge_key[pos] == key:
+            return pos
+        return -1
+
+
+def compile_gfa(gfa_path: str) -> GraphTensors:
+    names: List[str] = []
+    lens: List[int] = []
+    index: Dict[str, int] = {}
+    edges: List[Tuple[int, int]] = []
+
+    with open(gfa_path) as fh:
+        for line in fh:
+            if line.startswith("S"):
+                t = line.split("\t", 3)
+                sid, seq = t[1], t[2].rstrip("\n")
+                index[sid] = len(names)
+                names.append(sid)
+                lens.append(len(seq))
+            elif line.startswith("L"):
+                t = line.split("\t", 5)
+                edges.append((index[t[1]], index[t[3]]))
+
+    node_len = np.asarray(lens, dtype=np.int32)
+    n = len(names)
+
+    if edges:
+        src = np.asarray([a for a, _ in edges], dtype=np.int64)
+        dst = np.asarray([b for _, b in edges], dtype=np.int64)
+        key = (src.astype(np.uint64) << np.uint64(32)) | dst.astype(np.uint64)
+        order = np.argsort(key)
+        key, src, dst = key[order], src[order], dst[order]
+    else:
+        key = np.zeros(0, dtype=np.uint64)
+        src = dst = np.zeros(0, dtype=np.int64)
+
+    # counts layout: [NC (N) | IL hist | OL hist | RC (E)]
+    hist_sizes = (node_len.astype(np.int64) + 1)
+    il_base = n + np.concatenate(([0], np.cumsum(hist_sizes)[:-1]))
+    hist_total = int(hist_sizes.sum())
+    ol_base = il_base + hist_total
+    rc_base = n + 2 * hist_total
+    total = rc_base + len(key)
+
+    return GraphTensors(
+        node_names=names,
+        node_index=index,
+        node_len=node_len,
+        edge_key=key,
+        edge_src=src.astype(np.int32),
+        edge_dst=dst.astype(np.int32),
+        il_base=il_base,
+        ol_base=ol_base,
+        rc_base=rc_base,
+        total_slots=total,
+    )

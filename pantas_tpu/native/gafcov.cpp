@@ -1,0 +1,487 @@
+// Native GAF coverage engine: parse + walk-distribution + scatter-add.
+//
+// The hot loop of the augment stage (behavioral contract:
+// scripts/alignments_augmentation_from_gaf.py of the reference, exactly as
+// re-specified in pantas_tpu/coverage/semantics.py). Python streams are
+// ~50k reads/s; this engine parses the GAF and accumulates the flat counts
+// vector (layout [NC | IL | OL | RC], see graph/compiler.py) at memory
+// speed. First-seen orders (IL/OL offsets, novel edges) are recorded so
+// emission stays byte-identical to the reference augmenter.
+//
+// C API (ctypes): gafcov_create / gafcov_process_file / accessors /
+// gafcov_destroy.
+
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Cig {
+  char op;
+  int64_t len;
+};
+
+struct Engine {
+  int64_t n_nodes = 0;
+  const int64_t *ids = nullptr;       // sorted node ids (int64), size n_nodes
+  const int32_t *node_len = nullptr;  // aligned with ids order? NO: aligned with node index
+  const uint64_t *edge_key = nullptr; // sorted packed (src_idx<<32)|dst_idx
+  int64_t n_edges = 0;
+  const int64_t *il_base = nullptr;   // per node index
+  const int64_t *ol_base = nullptr;
+  int64_t rc_base = 0;
+  int64_t total_slots = 0;
+  bool dense_ids = false;             // ids are exactly 1..n_nodes
+
+  std::vector<int32_t> counts;        // flat counts vector
+  std::vector<uint8_t> slot_seen;     // first-seen marker for IL/OL slots
+  std::vector<int64_t> seen_order;    // IL/OL slots in first-seen order
+
+  std::unordered_map<uint64_t, int32_t> novel;  // packed idx pair -> count
+  std::vector<uint64_t> novel_order;
+
+  int64_t rejected = 0, skipped = 0, accepted = 0;
+
+  // scratch
+  std::vector<Cig> cig;
+  std::vector<int32_t> walk;       // node indices
+  std::vector<int32_t> aln_node;   // per aligned node: node index
+  std::vector<int32_t> aln_off;    // start offset into ops arrays
+  std::vector<Cig> aln_ops;        // concatenated per-node op lists
+  std::vector<int32_t> keep_node;  // cleaned node indices
+  std::vector<int32_t> keep_off;
+  std::vector<int32_t> keep_cnt;
+  std::vector<Cig> keep_ops;
+
+  int64_t node_index(int64_t id) const {
+    if (dense_ids) {
+      if (id >= 1 && id <= n_nodes) return id - 1;
+      return -1;
+    }
+    int64_t lo = 0, hi = n_nodes;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (ids[mid] < id) lo = mid + 1;
+      else hi = mid;
+    }
+    if (lo < n_nodes && ids[lo] == id) return lo;
+    return -1;
+  }
+
+  int64_t edge_slot(uint64_t key) const {
+    int64_t lo = 0, hi = n_edges;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (edge_key[mid] < key) lo = mid + 1;
+      else hi = mid;
+    }
+    if (lo < n_edges && edge_key[lo] == key) return lo;
+    return -1;
+  }
+
+  void bump(int64_t slot) { counts[slot]++; }
+
+  void bump_hist(int64_t slot) {
+    counts[slot]++;
+    if (!slot_seen[slot]) {
+      slot_seen[slot] = 1;
+      seen_order.push_back(slot);
+    }
+  }
+};
+
+inline bool is_op(char c) {
+  return c == '=' || c == ':' || c == '*' || c == '+' || c == '-' || c == '~';
+}
+
+// cs tokenizer; contract identical to io/gaf.py::tokenize_cs
+void tokenize_cs(const char *s, const char *end, std::vector<Cig> &out) {
+  out.clear();
+  char op = 0;
+  const char *tok = s;
+  auto close = [&](const char *tstart, const char *tend) {
+    if (!op) return;
+    if (op == '*') {
+      out.push_back({'*', 1});
+    } else {
+      bool digits = tend > tstart;
+      for (const char *p = tstart; p < tend; ++p)
+        if (!isdigit((unsigned char)*p)) { digits = false; break; }
+      if (digits)
+        out.push_back({op, strtoll(tstart, nullptr, 10)});
+      else
+        out.push_back({op, tend - tstart});
+    }
+    op = 0;
+  };
+  const char *p = s;
+  while (p < end) {
+    if (is_op(*p)) {
+      close(tok, p);
+      op = *p;
+      tok = p + 1;
+    }
+    ++p;
+  }
+  close(tok, end);
+}
+
+struct Field {
+  const char *s;
+  const char *e;
+  int64_t as_int() const { return strtoll(s, nullptr, 10); }
+};
+
+// process one GAF line; returns 0 ok
+void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
+                  double max_dv) {
+  // split into tab/space fields like Python str.split()
+  Field f[13];
+  int nf = 0;
+  const char *p = line;
+  const char *tags_start = nullptr;
+  while (p < lend && nf < 12) {
+    while (p < lend && (*p == '\t' || *p == ' ')) ++p;
+    if (p >= lend) break;
+    const char *q = p;
+    while (q < lend && *q != '\t' && *q != ' ') ++q;
+    f[nf].s = p;
+    f[nf].e = q;
+    ++nf;
+    p = q;
+  }
+  if (nf < 12) return;  // malformed; reference would crash
+  while (p < lend && (*p == '\t' || *p == ' ')) ++p;
+  tags_start = p;
+
+  int64_t mapq = f[11].as_int();
+  if (mapq < mapq_thr) {
+    E.rejected++;
+    return;
+  }
+  if (f[5].e - f[5].s == 1 && *f[5].s == '*') {
+    E.skipped++;
+    return;
+  }
+
+  int64_t path_len = f[6].as_int();
+  int64_t start_pos = f[7].as_int();
+  int64_t end_pos_rel = path_len - f[8].as_int();
+
+  // find cs: substring in tags (to whitespace), dv:f: value
+  const char *cs_s = nullptr, *cs_e = nullptr;
+  double dv = -1.0;
+  bool has_dv = false;
+  for (const char *t = tags_start; t + 2 < lend; ++t) {
+    if (!cs_s && t[0] == 'c' && t[1] == 's' && t[2] == ':') {
+      cs_s = t;
+      const char *q = t;
+      while (q < lend && *q != '\t' && *q != ' ') ++q;
+      cs_e = q;
+    }
+    if (!has_dv && t + 4 < lend && t[0] == 'd' && t[1] == 'v' && t[2] == ':' &&
+        t[3] == 'f' && t[4] == ':') {
+      const char *q = t + 5;
+      if (q < lend && isdigit((unsigned char)*q)) {
+        dv = strtod(q, nullptr);
+        has_dv = true;
+      }
+    }
+  }
+  if (cs_s && cs_e - cs_s >= 5 && strncmp(cs_s, "cs:Z:", 5) == 0) cs_s += 5;
+
+  E.cig.clear();
+  if (cs_s)
+    tokenize_cs(cs_s, cs_e, E.cig);
+  else {
+    const char star[] = "*";
+    tokenize_cs(star, star + 1, E.cig);
+  }
+
+  // 2-op clipping
+  if (E.cig.size() == 2) {
+    if (E.cig[0].op == '+' && E.cig[1].op == ':') {
+      start_pos += E.cig[0].len;
+      E.cig[0] = E.cig[1];
+      E.cig.pop_back();
+    } else if (E.cig[0].op == ':' && E.cig[1].op == '+') {
+      E.cig.pop_back();
+    }
+  }
+
+  if (has_dv && dv > max_dv) {
+    E.skipped++;
+    return;
+  }
+
+  // walk parse with consecutive-duplicate dedupe
+  bool rev = *f[5].s == '<';
+  char sep = rev ? '<' : '>';
+  E.walk.clear();
+  {
+    const char *q = f[5].s;
+    int64_t last_id = -1;
+    while (q < f[5].e) {
+      if (*q == sep) {
+        ++q;
+        const char *ns = q;
+        while (q < f[5].e && *q != '<' && *q != '>') ++q;
+        int64_t id = strtoll(ns, nullptr, 10);
+        if (E.walk.empty() || id != last_id) {
+          int64_t ni = E.node_index(id);
+          // unknown node: mirror reference KeyError by skipping line hard
+          if (ni < 0) return;
+          E.walk.push_back((int32_t)ni);
+          last_id = id;
+        }
+      } else {
+        ++q;
+      }
+    }
+  }
+  if (E.walk.empty()) return;
+
+  E.accepted++;
+
+  // distribute ops over node spans
+  E.aln_node.clear();
+  E.aln_off.clear();
+  E.aln_ops.clear();
+  size_t ci = 0;  // index into E.cig; consume destructively via remaining len
+  int64_t cur_remaining = ci < E.cig.size() ? E.cig[ci].len : 0;
+  size_t n_nodes_walk = E.walk.size();
+  bool out_of_ops = false;
+  for (size_t i = 0; i < n_nodes_walk && !out_of_ops; ++i) {
+    int32_t ni = E.walk[i];
+    int64_t span = E.node_len[ni];
+    if (i == 0) span -= start_pos;
+    if (i == n_nodes_walk - 1) span -= end_pos_rel - 1;
+    bool first = true;
+    while (span > 0) {
+      if (ci >= E.cig.size()) {
+        out_of_ops = true;
+        break;
+      }
+      char op = E.cig[ci].op;
+      int64_t ln = cur_remaining;
+      int64_t take;
+      if (span <= ln) {
+        take = span;
+        cur_remaining = ln - span;
+        span = 0;
+        if (cur_remaining == 0) {
+          ++ci;
+          cur_remaining = ci < E.cig.size() ? E.cig[ci].len : 0;
+        }
+      } else {
+        take = ln;
+        span -= ln;
+        ++ci;
+        cur_remaining = ci < E.cig.size() ? E.cig[ci].len : 0;
+      }
+      if (first) {
+        E.aln_node.push_back(ni);
+        E.aln_off.push_back((int32_t)E.aln_ops.size());
+        first = false;
+      }
+      E.aln_ops.push_back({op, take});
+    }
+  }
+  E.aln_off.push_back((int32_t)E.aln_ops.size());
+
+  // clean + compact into keep_*
+  E.keep_node.clear();
+  E.keep_off.clear();
+  E.keep_cnt.clear();
+  E.keep_ops.clear();
+  for (size_t i = 0; i < E.aln_node.size(); ++i) {
+    int32_t o0 = E.aln_off[i], o1 = E.aln_off[i + 1];
+    if (o1 - o0 == 1 && (E.aln_ops[o0].op == '-' || E.aln_ops[o0].op == '+'))
+      continue;  // pure single indel node drops
+    int32_t start = (int32_t)E.keep_ops.size();
+    for (int32_t j = o0; j < o1; ++j) {
+      Cig a = E.aln_ops[j];
+      if (j == o0) {
+        if (a.op == '*') continue;  // leading substitution merges below
+        E.keep_ops.push_back(a);
+      } else if ((int32_t)E.keep_ops.size() == start) {
+        E.keep_ops.push_back({a.op, a.len + 1});
+      } else if (a.op == E.keep_ops.back().op || a.op == '*') {
+        E.keep_ops.back().len += a.len;
+      } else {
+        E.keep_ops.push_back(a);
+      }
+    }
+    E.keep_node.push_back(E.aln_node[i]);
+    E.keep_off.push_back(start);
+    E.keep_cnt.push_back((int32_t)E.keep_ops.size() - start);
+  }
+
+  size_t K = E.keep_node.size();
+  for (size_t i = 0; i < K; ++i) E.bump(E.keep_node[i]);  // NC slots == index
+
+  // IL/OL per compacted op
+  for (size_t i = 0; i < K; ++i) {
+    int32_t ni = E.keep_node[i];
+    int64_t len = E.node_len[ni];
+    int32_t o0 = E.keep_off[i], cnt = E.keep_cnt[i];
+    bool fst = i == 0, lst = i == K - 1;
+    for (int32_t j = 0; j < cnt; ++j) {
+      Cig c = E.keep_ops[o0 + j];
+      if (c.op == '-') {
+        if (!rev) {
+          if (!fst && j == 0) E.bump_hist(E.il_base[ni] + c.len);
+          if (!lst && j == cnt - 1) E.bump_hist(E.ol_base[ni] + len - c.len - 1);
+        } else {
+          if (!fst && j == 0) E.bump_hist(E.ol_base[ni] + len - 1 - c.len);
+          if (!lst && j == cnt - 1) E.bump_hist(E.il_base[ni] + c.len);
+        }
+      } else if (c.op != '*') {
+        if (!rev) {
+          if (!fst) E.bump_hist(E.il_base[ni] + 0);
+          if (!lst) E.bump_hist(E.ol_base[ni] + len);
+        } else {
+          if (!lst) E.bump_hist(E.il_base[ni] + 0);
+          if (!fst) E.bump_hist(E.ol_base[ni] + len);
+        }
+      }
+    }
+  }
+
+  // edges
+  for (size_t i = 0; i + 1 < K; ++i) {
+    uint64_t a = (uint64_t)E.keep_node[i], b = (uint64_t)E.keep_node[i + 1];
+    if (rev) { uint64_t t = a; a = b; b = t; }
+    uint64_t key = (a << 32) | b;
+    int64_t slot = E.edge_slot(key);
+    if (slot >= 0) {
+      E.bump(E.rc_base + slot);
+    } else {
+      auto it = E.novel.find(key);
+      if (it == E.novel.end()) {
+        E.novel.emplace(key, 1);
+        E.novel_order.push_back(key);
+      } else {
+        it->second++;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void *gafcov_create(int64_t n_nodes, const int64_t *ids, const int32_t *node_len,
+                    const uint64_t *edge_key, int64_t n_edges,
+                    const int64_t *il_base, const int64_t *ol_base,
+                    int64_t rc_base, int64_t total_slots, int dense_ids) {
+  Engine *E = new Engine();
+  E->n_nodes = n_nodes;
+  E->ids = ids;
+  E->node_len = node_len;
+  E->edge_key = edge_key;
+  E->n_edges = n_edges;
+  E->il_base = il_base;
+  E->ol_base = ol_base;
+  E->rc_base = rc_base;
+  E->total_slots = total_slots;
+  E->dense_ids = dense_ids != 0;
+  E->counts.assign(total_slots, 0);
+  E->slot_seen.assign(total_slots, 0);
+  return E;
+}
+
+int64_t gafcov_process_file(void *h, const char *path, int mapq_thr,
+                            double max_dv) {
+  Engine *E = (Engine *)h;
+  FILE *fp = fopen(path, "rb");
+  if (!fp) return -1;
+  // buffered line reader
+  size_t cap = 1 << 22;
+  char *buf = (char *)malloc(cap);
+  size_t have = 0;
+  int64_t lines = 0;
+  for (;;) {
+    size_t got = fread(buf + have, 1, cap - have, fp);
+    have += got;
+    if (have == 0) break;
+    size_t start = 0;
+    for (;;) {
+      char *nl = (char *)memchr(buf + start, '\n', have - start);
+      if (!nl) break;
+      const char *ls = buf + start;
+      const char *le = nl;
+      while (le > ls && (*(le - 1) == '\r' || *(le - 1) == ' ')) --le;
+      if (le > ls) {
+        process_line(*E, ls, le, mapq_thr, max_dv);
+        ++lines;
+      }
+      start = (nl - buf) + 1;
+    }
+    if (start == 0) {
+      // line longer than buffer: grow
+      if (got == 0) {  // EOF with partial line
+        const char *ls = buf;
+        const char *le = buf + have;
+        while (le > ls && (*(le - 1) == '\r' || *(le - 1) == ' ')) --le;
+        if (le > ls) {
+          process_line(*E, ls, le, mapq_thr, max_dv);
+          ++lines;
+        }
+        have = 0;
+        break;
+      }
+      cap *= 2;
+      buf = (char *)realloc(buf, cap);
+      continue;
+    }
+    memmove(buf, buf + start, have - start);
+    have -= start;
+    if (got == 0) {
+      if (have > 0) {
+        const char *ls = buf;
+        const char *le = buf + have;
+        while (le > ls && (*(le - 1) == '\r' || *(le - 1) == ' ')) --le;
+        if (le > ls) {
+          process_line(*E, ls, le, mapq_thr, max_dv);
+          ++lines;
+        }
+      }
+      break;
+    }
+  }
+  free(buf);
+  fclose(fp);
+  return lines;
+}
+
+const int32_t *gafcov_counts(void *h) { return ((Engine *)h)->counts.data(); }
+
+int64_t gafcov_seen_count(void *h) { return ((Engine *)h)->seen_order.size(); }
+const int64_t *gafcov_seen_order(void *h) {
+  return ((Engine *)h)->seen_order.data();
+}
+
+int64_t gafcov_novel_count(void *h) { return ((Engine *)h)->novel_order.size(); }
+void gafcov_novel_fill(void *h, uint64_t *keys, int32_t *vals) {
+  Engine *E = (Engine *)h;
+  for (size_t i = 0; i < E->novel_order.size(); ++i) {
+    keys[i] = E->novel_order[i];
+    vals[i] = E->novel[E->novel_order[i]];
+  }
+}
+
+int64_t gafcov_rejected(void *h) { return ((Engine *)h)->rejected; }
+int64_t gafcov_skipped(void *h) { return ((Engine *)h)->skipped; }
+int64_t gafcov_accepted(void *h) { return ((Engine *)h)->accepted; }
+
+void gafcov_destroy(void *h) { delete (Engine *)h; }
+
+}  // extern "C"

@@ -1,0 +1,221 @@
+"""ctypes wrapper for the native GAF coverage engine (gafcov.cpp).
+
+Produces the same flat counts vector as the device path and reconstructs
+first-seen orders so the emitted augmented GFA stays byte-identical to the
+reference augmenter.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from pantas_tpu.coverage.host import CoverageCounts, emit_augmented_gfa
+from pantas_tpu.graph.compiler import GraphTensors, compile_gfa
+
+_SRC = Path(__file__).parent / "gafcov.cpp"
+_SO = Path(__file__).parent / "libgafcov.so"
+
+_lib = None
+
+
+def build_library(force: bool = False) -> Path:
+    if force or not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        cmd = [
+            "g++",
+            "-O3",
+            "-march=native",
+            "-std=c++17",
+            "-shared",
+            "-fPIC",
+            str(_SRC),
+            "-o",
+            str(_SO),
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _SO
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    build_library()
+    lib = ctypes.CDLL(str(_SO))
+    i64, i32, u64, f64 = (
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_uint64,
+        ctypes.c_double,
+    )
+    P = ctypes.POINTER
+    lib.gafcov_create.restype = ctypes.c_void_p
+    lib.gafcov_create.argtypes = [
+        i64, P(i64), P(i32), P(u64), i64, P(i64), P(i64), i64, i64, ctypes.c_int,
+    ]
+    lib.gafcov_process_file.restype = i64
+    lib.gafcov_process_file.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, f64]
+    lib.gafcov_counts.restype = P(i32)
+    lib.gafcov_counts.argtypes = [ctypes.c_void_p]
+    lib.gafcov_seen_count.restype = i64
+    lib.gafcov_seen_count.argtypes = [ctypes.c_void_p]
+    lib.gafcov_seen_order.restype = P(i64)
+    lib.gafcov_seen_order.argtypes = [ctypes.c_void_p]
+    lib.gafcov_novel_count.restype = i64
+    lib.gafcov_novel_count.argtypes = [ctypes.c_void_p]
+    lib.gafcov_novel_fill.restype = None
+    lib.gafcov_novel_fill.argtypes = [ctypes.c_void_p, P(u64), P(i32)]
+    for name in ("gafcov_rejected", "gafcov_skipped", "gafcov_accepted"):
+        getattr(lib, name).restype = i64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.gafcov_destroy.restype = None
+    lib.gafcov_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class NativeCoverage:
+    """One accumulation session over a compiled graph."""
+
+    def __init__(self, tensors: GraphTensors):
+        lib = _load()
+        self.lib = lib
+        self.t = tensors
+        try:
+            ids = np.asarray([int(n) for n in tensors.node_names], dtype=np.int64)
+        except ValueError as e:
+            raise ValueError("native path requires integer segment ids") from e
+        order = np.argsort(ids, kind="stable")
+        if not np.array_equal(order, np.arange(len(ids))):
+            raise ValueError("native path requires ids sorted in file order")
+        dense = bool(
+            len(ids) > 0 and ids[0] == 1 and np.array_equal(ids, np.arange(1, len(ids) + 1))
+        )
+        # keep every array alive for the lifetime of the handle
+        self._ids = ids
+        self._node_len = np.ascontiguousarray(tensors.node_len, dtype=np.int32)
+        self._edge_key = np.ascontiguousarray(tensors.edge_key, dtype=np.uint64)
+        self._il_base = np.ascontiguousarray(tensors.il_base, dtype=np.int64)
+        self._ol_base = np.ascontiguousarray(tensors.ol_base, dtype=np.int64)
+        self.handle = lib.gafcov_create(
+            len(ids),
+            _ptr(self._ids, ctypes.c_int64),
+            _ptr(self._node_len, ctypes.c_int32),
+            _ptr(self._edge_key, ctypes.c_uint64),
+            len(self._edge_key),
+            _ptr(self._il_base, ctypes.c_int64),
+            _ptr(self._ol_base, ctypes.c_int64),
+            tensors.rc_base,
+            tensors.total_slots,
+            1 if dense else 0,
+        )
+
+    def process_file(self, gaf_path: str, mapq_thr: int = 20, max_dv: float = 0.1) -> int:
+        n = self.lib.gafcov_process_file(
+            self.handle, str(gaf_path).encode(), mapq_thr, max_dv
+        )
+        if n < 0:
+            raise IOError(f"cannot read {gaf_path}")
+        return int(n)
+
+    def counts_vector(self) -> np.ndarray:
+        ptr = self.lib.gafcov_counts(self.handle)
+        return np.ctypeslib.as_array(ptr, shape=(self.t.total_slots,)).copy()
+
+    def to_counts(self) -> CoverageCounts:
+        t = self.t
+        lib = self.lib
+        flat = self.counts_vector()
+        counts = CoverageCounts()
+        counts.rejected = int(lib.gafcov_rejected(self.handle))
+        counts.skipped = int(lib.gafcov_skipped(self.handle))
+        counts.accepted = int(lib.gafcov_accepted(self.handle))
+        counts.node_len = {n: int(l) for n, l in zip(t.node_names, t.node_len)}
+
+        nc = flat[: t.n_nodes]
+        for ni in np.nonzero(nc)[0]:
+            counts.nc[t.node_names[ni]] = int(nc[ni])
+
+        # reconstruct per-node IL/OL offset first-seen orders from the slot log
+        n_seen = int(lib.gafcov_seen_count(self.handle))
+        if n_seen:
+            seen = np.ctypeslib.as_array(
+                lib.gafcov_seen_order(self.handle), shape=(n_seen,)
+            )
+            hist_total = int(t.ol_base[0] - t.il_base[0]) if t.n_nodes else 0
+            for slot in seen:
+                slot = int(slot)
+                if slot < t.il_base[0] + hist_total:  # IL section
+                    ni = int(np.searchsorted(t.il_base, slot, side="right")) - 1
+                    off = slot - int(t.il_base[ni])
+                    counts.il.setdefault(t.node_names[ni], {})[off] = int(flat[slot])
+                else:  # OL section
+                    ni = int(np.searchsorted(t.ol_base, slot, side="right")) - 1
+                    off = slot - int(t.ol_base[ni])
+                    counts.ol.setdefault(t.node_names[ni], {})[off] = int(flat[slot])
+
+        rc = flat[t.rc_base :]
+        for e in np.nonzero(rc)[0]:
+            a = t.node_names[int(t.edge_src[e])]
+            b = t.node_names[int(t.edge_dst[e])]
+            counts.edge[(a, b)] = int(rc[e])
+
+        n_novel = int(lib.gafcov_novel_count(self.handle))
+        if n_novel:
+            keys = np.zeros(n_novel, dtype=np.uint64)
+            vals = np.zeros(n_novel, dtype=np.int32)
+            lib.gafcov_novel_fill(
+                self.handle, _ptr(keys, ctypes.c_uint64), _ptr(vals, ctypes.c_int32)
+            )
+            for k, v in zip(keys, vals):
+                a = t.node_names[int(k >> np.uint64(32))]
+                b = t.node_names[int(k & np.uint64(0xFFFFFFFF))]
+                counts.edge[(a, b)] = int(v)
+        return counts
+
+    def __del__(self):
+        try:
+            if getattr(self, "handle", None):
+                self.lib.gafcov_destroy(self.handle)
+                self.handle = None
+        except Exception:
+            pass
+
+
+def augment_gfa_native(
+    gaf_path: str,
+    gfa_path: str,
+    out,
+    mapq_thr: int = 20,
+    log=sys.stderr,
+    tensors: Optional[GraphTensors] = None,
+) -> CoverageCounts:
+    """Augment stage with the native engine (byte-identical output)."""
+    print("Read GFA (tensorize)", file=log)
+    if tensors is None:
+        tensors = compile_gfa(gfa_path)
+    eng = NativeCoverage(tensors)
+    print("Augmentation by GAF alignments (native)", file=log)
+    eng.process_file(gaf_path, mapq_thr)
+    counts = eng.to_counts()
+    print(f"Rejected alignments: {counts.rejected}", file=log)
+    print("Annotating GFA", file=log)
+    emit_augmented_gfa(gfa_path, counts, out)
+    return counts

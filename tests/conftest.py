@@ -11,6 +11,17 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The environment's sitecustomize imports jax at interpreter startup (before
+# this conftest) with JAX_PLATFORMS=axon already captured; the env override
+# above is then too late, so force the platform through the config API —
+# backends have not initialized yet at collection time.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:  # pragma: no cover
+    pass
+
 import sys
 from pathlib import Path
 

@@ -1,0 +1,57 @@
+"""Device coverage engine: shard-count invariance + byte-identical emission.
+
+Coverage counts are integer adds, so 1 device and an 8-device CPU mesh must
+produce bit-identical results — and both must match the host dict
+accumulator byte-for-byte on the emitted GFA.
+"""
+
+import io
+
+from fixtures_micro import write_micro
+
+from pantas_tpu.coverage import augment_gfa
+from pantas_tpu.coverage.device import augment_gfa_device
+from pantas_tpu.graph.compiler import compile_gfa
+from pantas_tpu.parallel.mesh import coverage_mesh
+
+
+def _augment_host(gaf, gfa):
+    buf, log = io.StringIO(), io.StringIO()
+    augment_gfa(gaf, gfa, out=buf, log=log)
+    return buf.getvalue()
+
+
+def _augment_device(gaf, gfa, mesh=None, flush_every=1 << 20):
+    buf, log = io.StringIO(), io.StringIO()
+    augment_gfa_device(gaf, gfa, out=buf, mesh=mesh, flush_every=flush_every, log=log)
+    return buf.getvalue()
+
+
+def test_graph_tensor_layout(tmp_path):
+    gfa, _ = write_micro(tmp_path)
+    t = compile_gfa(gfa)
+    assert t.n_nodes == 6
+    assert t.n_edges == 7
+    # histogram slots: one per offset 0..len per node per side
+    assert t.total_slots == 6 + 2 * (sum(t.node_len) + 6) + 7
+    # edge lookup round-trip + novelty
+    a, b = t.node_index["2"], t.node_index["3"]
+    assert t.edge_lookup(a, b) >= 0
+    assert t.edge_lookup(t.node_index["3"], t.node_index["5"]) == -1
+
+
+def test_device_single_chip_matches_host(tmp_path):
+    gfa, gaf = write_micro(tmp_path)
+    assert _augment_device(gaf, gfa) == _augment_host(gaf, gfa)
+
+
+def test_device_mesh_invariance(tmp_path):
+    import jax
+
+    gfa, gaf = write_micro(tmp_path)
+    host = _augment_host(gaf, gfa)
+    mesh = coverage_mesh(jax.devices()[:8])
+    assert mesh.devices.size == 8
+    assert _augment_device(gaf, gfa, mesh=mesh) == host
+    # tiny flush size forces many partial psum merges — still identical
+    assert _augment_device(gaf, gfa, mesh=mesh, flush_every=4) == host
