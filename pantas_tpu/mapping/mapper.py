@@ -1,16 +1,20 @@
 """Path-guided seed-and-extend read mapper producing GAF.
 
-Strategy: RNA reads come from transcripts (possibly with retained introns),
-so the annotated pangenome's embedded paths — reference-projected
-transcripts (``*_R1``) plus the reference chromosome path — are the
-alignment targets. Each path's sequence is k-mer indexed; reads vote for a
-(path, diagonal), the best diagonal is verified by Hamming comparison
-(haplotype SNPs and sequencing errors appear as substitutions), and the
-alignment is projected back to the node walk with a cs-CIGAR.
+Strategy: RNA reads come from transcripts (possibly with retained introns
+or novel splice combinations), so the annotated pangenome's embedded paths
+— reference-projected transcripts (``*_R1``) plus the reference chromosome
+path — are the alignment targets. Each path's sequence is k-mer indexed;
+reads vote for (path, diagonal) pairs, extensions are scored by a
+max-identity window (soft-clipping junction overhangs), and clipped reads
+attempt a *two-piece spliced join*: the remainder re-seeds independently
+and the pieces merge into one walk when they meet at node boundaries in
+topological order — which is exactly how novel junctions enter the GAF
+(the augmenter then records the absent edge as a novel link).
 
 Output GAF is consumable by the augment stage (and by the reference
 augmenter): oriented path, path-interval coordinates, mapq, ``cs:Z:`` and
-``dv:f:`` tags, matching the conventions of ``vg mpmap -F GAF``.
+``dv:f:`` tags, following the conventions of ``vg mpmap -F GAF``
+(reference ``README.md:86-101``).
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 from pantas_tpu.io.fasta import revcomp
 from pantas_tpu.io.gfa import Gfa
+
+MISMATCH_PENALTY = 4  # max-window scoring: match +1, mismatch -penalty
 
 
 @dataclass
@@ -35,7 +41,13 @@ class PathRecord:
 class PathIndex:
     """k-mer index over selected embedded paths of a GFA."""
 
-    def __init__(self, gfa: Gfa, k: int = 21, max_hits: int = 64, ref_transcripts_only: bool = True):
+    def __init__(
+        self,
+        gfa: Gfa,
+        k: int = 21,
+        max_hits: int = 64,
+        ref_transcripts_only: bool = True,
+    ):
         self.k = k
         self.paths: List[PathRecord] = []
         self.kmers: Dict[str, List[Tuple[int, int]]] = {}
@@ -69,14 +81,21 @@ class PathIndex:
                     continue
                 hits.append((pi, i))
 
-    def seed(self, read: str) -> Dict[Tuple[int, int], int]:
-        """Vote for (path, diagonal) across a few read offsets."""
+    def seed(
+        self, read: str, qlo: int = 0, qhi: Optional[int] = None
+    ) -> Dict[Tuple[int, int], int]:
+        """Vote for (path, diagonal) using seeds inside read[qlo:qhi]."""
         k = self.k
-        L = len(read)
+        qhi = len(read) if qhi is None else qhi
+        span = qhi - qlo
+        if span < k:
+            return {}
         votes: Dict[Tuple[int, int], int] = {}
-        offs = sorted({0, L // 4, L // 2, (3 * L) // 4, L - k})
+        offs = sorted(
+            {qlo, qlo + span // 4, qlo + span // 2, qlo + (3 * span) // 4, qhi - k}
+        )
         for q in offs:
-            if q < 0 or q + k > L:
+            if q < qlo or q + k > qhi:
                 continue
             for pi, pos in self.kmers.get(read[q : q + k], ()):
                 key = (pi, pos - q)
@@ -85,147 +104,266 @@ class PathIndex:
 
 
 @dataclass
-class Alignment:
+class Piece:
+    """One gapless alignment piece of the (oriented) read."""
+
     path_idx: int
-    pstart: int  # on forward path
+    qstart: int  # on the oriented read
+    qend: int
+    pstart: int  # on the forward path
     pend: int
-    reverse: bool
     mismatches: int
-    clipped_head: int  # read bases clipped (off path ends)
-    clipped_tail: int
     ops: List[Tuple[str, object]]  # (':', n) or ('*', 'xy')
 
+    @property
+    def span(self) -> int:
+        return self.pend - self.pstart
 
-def _hamming_extend(read: str, pseq: str, diag: int) -> Optional[Alignment]:
-    """Compare read to path at a diagonal, clipping at path ends."""
-    L = len(read)
-    qstart = max(0, -diag)
-    pstart = diag + qstart
-    usable = min(L - qstart, len(pseq) - pstart)
-    if usable <= 0:
+
+def _extend(
+    read: str, pseq: str, diag: int, qlo: int, qhi: int
+) -> Optional[Piece]:
+    """Best-identity contiguous window of read[qlo:qhi] vs path at a diagonal.
+
+    Kadane-style max-subarray over +1/-MISMATCH_PENALTY scores, so junction
+    overhangs soft-clip instead of dragging the identity down.
+    """
+    lo = max(qlo, -diag)
+    hi = min(qhi, len(pseq) - diag)
+    if hi - lo <= 0:
+        return None
+    # max-scoring window
+    best_s = best_e = cur_s = lo
+    best_score = cur = 0
+    for i in range(lo, hi):
+        cur += 1 if read[i] == pseq[diag + i] else -MISMATCH_PENALTY
+        if cur > best_score:
+            best_score = cur
+            best_s, best_e = cur_s, i + 1
+        if cur < 0:
+            cur = 0
+            cur_s = i + 1
+    if best_e <= best_s:
         return None
     ops: List[Tuple[str, object]] = []
     mism = 0
     run = 0
-    for i in range(usable):
-        if read[qstart + i] == pseq[pstart + i]:
+    for i in range(best_s, best_e):
+        if read[i] == pseq[diag + i]:
             run += 1
         else:
             if run:
                 ops.append((":", run))
                 run = 0
             mism += 1
-            ops.append(("*", pseq[pstart + i].lower() + read[qstart + i].lower()))
+            ops.append(("*", pseq[diag + i].lower() + read[i].lower()))
     if run:
         ops.append((":", run))
-    return Alignment(
+    return Piece(
         path_idx=-1,
-        pstart=pstart,
-        pend=pstart + usable,
-        reverse=False,
+        qstart=best_s,
+        qend=best_e,
+        pstart=diag + best_s,
+        pend=diag + best_e,
         mismatches=mism,
-        clipped_head=qstart,
-        clipped_tail=L - qstart - usable,
         ops=ops,
     )
 
 
+def _best_piece(
+    index: PathIndex,
+    seq: str,
+    qlo: int = 0,
+    qhi: Optional[int] = None,
+    max_mismatch_frac: float = 0.08,
+    min_span: int = 20,
+) -> Optional[Piece]:
+    qhi = len(seq) if qhi is None else qhi
+    votes = index.seed(seq, qlo, qhi)
+    if not votes:
+        return None
+    best: Optional[Piece] = None
+    for (pi, diag), _ in sorted(votes.items(), key=lambda kv: -kv[1])[:4]:
+        p = _extend(seq, index.paths[pi].seq, diag, qlo, qhi)
+        if p is None or p.span < min_span:
+            continue
+        if p.mismatches > max_mismatch_frac * p.span:
+            continue
+        p.path_idx = pi
+        if best is None or (p.span - MISMATCH_PENALTY * p.mismatches) > (
+            best.span - MISMATCH_PENALTY * best.mismatches
+        ):
+            best = p
+    return best
+
+
+def _node_boundary_end(rec: PathRecord, pos: int) -> bool:
+    """Is path position `pos` the end of some node (exclusive boundary)?"""
+    if pos == len(rec.seq):
+        return True
+    i = bisect_right(rec.offsets, pos) - 1
+    return rec.offsets[i] == pos
+
+
+def _piece_nodes(index: PathIndex, p: Piece) -> Tuple[List[str], int, int, int]:
+    """(nodes, walk_len, start offset in first node, uncovered tail)."""
+    rec = index.paths[p.path_idx]
+    i0 = bisect_right(rec.offsets, p.pstart) - 1
+    i1 = bisect_right(rec.offsets, p.pend - 1) - 1
+    nodes = rec.nodes[i0 : i1 + 1]
+    end_off = rec.offsets[i1 + 1] if i1 + 1 < len(rec.offsets) else len(rec.seq)
+    walk_len = end_off - rec.offsets[i0]
+    start = p.pstart - rec.offsets[i0]
+    tail = end_off - p.pend
+    return nodes, walk_len, start, tail
+
+
+def _try_join(index: PathIndex, first: Piece, second: Piece) -> bool:
+    """Can these q-contiguous pieces join across a (possibly novel) junction?"""
+    if first.qend != second.qstart:
+        return False
+    rec1 = index.paths[first.path_idx]
+    rec2 = index.paths[second.path_idx]
+    if not _node_boundary_end(rec1, first.pend):
+        return False
+    i2 = bisect_right(rec2.offsets, second.pstart) - 1
+    if rec2.offsets[i2] != second.pstart:
+        return False
+    n1, _, _, _ = _piece_nodes(index, first)
+    n2, _, _, _ = _piece_nodes(index, second)
+    try:
+        return int(n1[-1]) < int(n2[0])
+    except ValueError:
+        return n1[-1] != n2[0]
+
+
+@dataclass
+class SplicedAlignment:
+    pieces: List[Piece]
+    reverse: bool
+
+    @property
+    def qstart(self) -> int:
+        return self.pieces[0].qstart
+
+    @property
+    def qend(self) -> int:
+        return self.pieces[-1].qend
+
+    @property
+    def mismatches(self) -> int:
+        return sum(p.mismatches for p in self.pieces)
+
+    @property
+    def span(self) -> int:
+        return sum(p.span for p in self.pieces)
+
+    def score(self) -> int:
+        return self.span - MISMATCH_PENALTY * self.mismatches
+
+
 def align_read(
     index: PathIndex, read: str, max_mismatch_frac: float = 0.08
-) -> Optional[Alignment]:
-    """Best alignment of the read (either strand) or None."""
-    best: Optional[Alignment] = None
+) -> Optional[SplicedAlignment]:
+    """Best (possibly two-piece spliced) alignment of the read, or None."""
+    L = len(read)
+    k = index.k
+    best: Optional[SplicedAlignment] = None
+
     for reverse, seq in ((False, read), (True, revcomp(read))):
-        votes = index.seed(seq)
-        if not votes:
+        p1 = _best_piece(index, seq, 0, L, max_mismatch_frac)
+        if p1 is None:
             continue
-        # try the top few diagonals
-        top = sorted(votes.items(), key=lambda kv: -kv[1])[:4]
-        for (pi, diag), _ in top:
-            aln = _hamming_extend(seq, index.paths[pi].seq, diag)
-            if aln is None:
-                continue
-            aln.path_idx = pi
-            aln.reverse = reverse
-            span = aln.pend - aln.pstart
-            if span < len(read) // 2:
-                continue
-            if aln.mismatches > max_mismatch_frac * span:
-                continue
-            if (
-                best is None
-                or (aln.mismatches + aln.clipped_head + aln.clipped_tail)
-                < (best.mismatches + best.clipped_head + best.clipped_tail)
-            ):
-                best = aln
+        cand = SplicedAlignment([p1], reverse)
+
+        # try to rescue a clipped tail with a second piece
+        if L - p1.qend >= k:
+            p2 = _best_piece(index, seq, p1.qend, L, max_mismatch_frac)
+            if p2 is not None and _try_join(index, p1, p2):
+                cand = SplicedAlignment([p1, p2], reverse)
+        # or a clipped head
+        if cand.qstart >= k and len(cand.pieces) == 1:
+            p0 = _best_piece(index, seq, 0, p1.qstart, max_mismatch_frac)
+            if p0 is not None and _try_join(index, p0, p1):
+                cand = SplicedAlignment([p0, p1], reverse)
+
+        if cand.span < L // 2:
+            continue
+        if best is None or cand.score() > best.score():
+            best = cand
     return best
 
 
 def _cs_string(ops: List[Tuple[str, object]]) -> str:
     parts = []
     for op, v in ops:
-        if op == ":":
-            parts.append(f":{v}")
-        else:
-            parts.append(f"*{v}")
+        parts.append(f":{v}" if op == ":" else f"*{v}")
     return "".join(parts)
 
 
-def alignment_to_gaf(
-    index: PathIndex, name: str, read: str, aln: Alignment
-) -> str:
-    rec = index.paths[aln.path_idx]
-    plen = len(rec.seq)
-    # nodes covering [pstart, pend) on the forward path
-    i0 = bisect_right(rec.offsets, aln.pstart) - 1
-    i1 = bisect_right(rec.offsets, aln.pend - 1) - 1
-    nodes = rec.nodes[i0 : i1 + 1]
-    walk_start = aln.pstart - rec.offsets[i0]
-    walk_end_off = rec.offsets[i1 + 1] if i1 + 1 < len(rec.offsets) else plen
-    walk_len = walk_end_off - rec.offsets[i0]
-
-    if not aln.reverse:
-        path_str = ">" + ">".join(nodes)
-        pstart = walk_start
-        pend = pstart + (aln.pend - aln.pstart)
-        cs = _cs_string(aln.ops)
-    else:
-        # oriented path lists nodes reversed; coordinates flip within the walk
-        path_str = "<" + "<".join(reversed(nodes))
-        pend_on_walk = walk_start + (aln.pend - aln.pstart)
-        pstart = walk_len - pend_on_walk
-        pend = walk_len - walk_start
-        # ops along the oriented walk: reversed, bases complemented
-        cs_ops = []
-        for op, v in reversed(aln.ops):
-            if op == ":":
-                cs_ops.append((op, v))
+def _merge_ops(pieces: List[Piece]) -> List[Tuple[str, object]]:
+    ops: List[Tuple[str, object]] = []
+    for p in pieces:
+        for op, v in p.ops:
+            if ops and op == ":" and ops[-1][0] == ":":
+                ops[-1] = (":", ops[-1][1] + v)
             else:
-                cs_ops.append((op, revcomp(v[0]) + revcomp(v[1])))
-        cs = _cs_string(cs_ops)
+                ops.append((op, v))
+    return ops
+
+
+def alignment_to_gaf(
+    index: PathIndex, name: str, read: str, aln: SplicedAlignment
+) -> str:
+    walk_nodes: List[str] = []
+    walk_len = 0
+    head_start = 0
+    tail_uncovered = 0
+    for i, p in enumerate(aln.pieces):
+        nodes, wlen, start, tail = _piece_nodes(index, p)
+        if i == 0:
+            head_start = start
+        if i == len(aln.pieces) - 1:
+            tail_uncovered = tail
+        walk_nodes.extend(nodes)
+        walk_len += wlen
+
+    ops = _merge_ops(aln.pieces)
+    if not aln.reverse:
+        path_str = ">" + ">".join(walk_nodes)
+        pstart = head_start
+        pend_excl = walk_len - tail_uncovered
+        cs = _cs_string(ops)
+    else:
+        path_str = "<" + "<".join(reversed(walk_nodes))
+        pstart = tail_uncovered
+        pend_excl = walk_len - head_start
+        rev_ops = []
+        for op, v in reversed(ops):
+            rev_ops.append((op, v) if op == ":" else (op, revcomp(v[0]) + revcomp(v[1])))
+        cs = _cs_string(rev_ops)
 
     L = len(read)
-    span = aln.pend - aln.pstart
+    span = aln.span
     matches = span - aln.mismatches
     dv = round(1.0 - (matches / span), 6) if span else 1.0
-    qstart = aln.clipped_head
-    qend = L - aln.clipped_tail
+    mapq = 60 if len(aln.pieces) == 1 else 50
     return "\t".join(
         map(
             str,
             [
                 name,
                 L,
-                qstart,
-                qend,
+                aln.qstart,
+                aln.qend,
                 "+",
                 path_str,
                 walk_len,
                 pstart,
-                pend - 1,
+                pend_excl - 1,
                 matches,
                 span,
-                60,
+                mapq,
                 "AS:i:" + str(matches),
                 f"dv:f:{dv}",
                 f"cs:Z:{cs}",
@@ -262,7 +400,7 @@ def map_reads(
         f"[map] indexed {len(index.paths)} paths, {len(index.kmers)} kmers",
         file=log,
     )
-    mapped = total = 0
+    mapped = total = spliced = 0
     streams = [iter_fastq(fq1)]
     if fq2:
         streams.append(iter_fastq(fq2))
@@ -279,6 +417,8 @@ def map_reads(
                 )
                 continue
             mapped += 1
+            if len(aln.pieces) > 1:
+                spliced += 1
             print(alignment_to_gaf(index, name, seq, aln), file=out)
-    print(f"[map] mapped {mapped}/{total} reads", file=log)
+    print(f"[map] mapped {mapped}/{total} reads ({spliced} spliced joins)", file=log)
     return mapped, total
