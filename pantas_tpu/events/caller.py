@@ -90,6 +90,18 @@ class SplicingGraph:
         self.link: Dict[Jct, LinkInfo] = {}
         self.junctions: Set[Jct] = set()
         self.novel_junctions: Set[Jct] = set()
+        # caches (content-identical to on-the-fly construction; callers
+        # never mutate returned sets)
+        self._exon_sets: Dict[str, Set[str]] = {}
+        self._jn_hts: Dict[Jct, Dict[str, Set[str]]] = {}
+        self._empty: Set[str] = set()
+        self._empty_j: Set[Jct] = set()
+        # junction endpoint indexes (replace the reference's O(J) scans at
+        # call.py:280-282,945-947 with content-identical sets)
+        self.j_by_head: Dict[str, Set[Jct]] = {}
+        self.j_by_tail: Dict[str, Set[Jct]] = {}
+        self.nj_by_head: Dict[str, Set[Jct]] = {}
+        self.nj_by_tail: Dict[str, Set[Jct]] = {}
 
     @classmethod
     def from_gfa(cls, gfa_path: str) -> "SplicingGraph":
@@ -122,15 +134,35 @@ class SplicingGraph:
                 g.seg[b].incoming.append(a)
                 if li.jn:
                     g.junctions.add((a, b))
+                    g.j_by_head.setdefault(a, set()).add((a, b))
+                    g.j_by_tail.setdefault(b, set()).add((a, b))
                 if li.novel:
                     g.novel_junctions.add((a, b))
+                    g.nj_by_head.setdefault(a, set()).add((a, b))
+                    g.nj_by_tail.setdefault(b, set()).add((a, b))
         return g
 
     # --- small accessors matching reference helper semantics ---
 
     def exset(self, nid: Optional[str]) -> Set[str]:
-        info = self.seg.get(nid) if nid is not None else None
-        return set(info.exons) if info is not None and info.exons else set()
+        """Exon-label set of a node (cached; do not mutate the result)."""
+        if nid is None:
+            return self._empty
+        cached = self._exon_sets.get(nid)
+        if cached is not None:
+            return cached
+        info = self.seg.get(nid)
+        s = set(info.exons) if info is not None and info.exons else set()
+        self._exon_sets[nid] = s
+        return s
+
+    def jn_hts(self, j: Jct) -> Dict[str, Set[str]]:
+        """hts_of_junction of a link's JN labels (cached)."""
+        cached = self._jn_hts.get(j)
+        if cached is None:
+            cached = hts_of_junction(self.link[j].jn)
+            self._jn_hts[j] = cached
+        return cached
 
     def nc(self, nid: str) -> int:
         v = self.seg[nid].nc
@@ -156,9 +188,18 @@ class SplicingGraph:
 # contain '_' and the haplotype tag H is the last '_' token.
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 20)
 def _split_ht(ht: str) -> Tuple[str, str]:
     parts = ht.split("_")
     return "_".join(parts[:-1]), parts[-1]
+
+
+@lru_cache(maxsize=1 << 20)
+def _exon_label_th(label: str) -> Tuple[str, str]:
+    return _split_ht(".".join(label.split(".")[:-1]))
 
 
 def hts_of_junction(labels: Sequence[str]) -> Dict[str, Set[str]]:
@@ -170,14 +211,14 @@ def hts_of_junction(labels: Sequence[str]) -> Dict[str, Set[str]]:
 
 
 def hts_of_exon(label: str) -> Dict[str, Set[str]]:
-    t, h = _split_ht(".".join(label.split(".")[:-1]))
+    t, h = _exon_label_th(label)
     return {t: {h}}
 
 
 def hts_of_exons(labels) -> Dict[str, Set[str]]:
     out: Dict[str, Set[str]] = {}
     for lab in labels:
-        t, h = _split_ht(".".join(lab.split(".")[:-1]))
+        t, h = _exon_label_th(lab)
         out.setdefault(t, set()).add(h)
     return out
 
@@ -218,7 +259,9 @@ def _genes_of_hts(hts: Dict[str, Set[str]], t2g: Dict[str, str]) -> Set[str]:
 
 
 def _same_gene_exons(exons: Set[str], genes: Set[str], t2g) -> Set[str]:
-    return set(e for e in exons if len(genes & _genes_of_hts(hts_of_exon(e), t2g)) > 0)
+    # an exon label names exactly one transcript, so its gene set is the
+    # singleton {t2g[t]} — same KeyError semantics as the reference
+    return set(e for e in exons if t2g[_exon_label_th(e)[0]] in genes)
 
 
 def _call_annotated(
@@ -231,7 +274,7 @@ def _call_annotated(
         if g.rc(_j) < opts.rca:
             continue
         jn = g.link[_j].jn
-        _ht = hts_of_junction(jn)
+        _ht = g.jn_hts(_j)
         _genes = _genes_of_hts(_ht, t2g)
         if len(_genes) > 1:
             continue
@@ -240,17 +283,17 @@ def _call_annotated(
         _exons2 = _same_gene_exons(g.exset(_j[1]), _genes, t2g)
         assert len(_exons1) > 0 and len(_exons2) > 0
 
-        Js1 = set(x for x in g.junctions if x[0] == _j[0]) - set([_j])
-        Js2 = set(x for x in g.junctions if x[1] == _j[1]) - set([_j])
+        Js1 = g.j_by_head.get(_j[0], g._empty_j) - set([_j])
+        Js2 = g.j_by_tail.get(_j[1], g._empty_j) - set([_j])
         Js1 = set(
             x
             for x in Js1
-            if len(_genes & _genes_of_hts(hts_of_junction(g.link[x].jn), t2g)) > 0
+            if len(_genes & _genes_of_hts(g.jn_hts(x), t2g)) > 0
         )
         Js2 = set(
             x
             for x in Js2
-            if len(_genes & _genes_of_hts(hts_of_junction(g.link[x].jn), t2g)) > 0
+            if len(_genes & _genes_of_hts(g.jn_hts(x), t2g)) > 0
         )
 
         strand = genestrand[_gene]
@@ -258,8 +301,8 @@ def _call_annotated(
 
         if "ES" in opts.events:
             for j1, j2 in product(Js1, Js2):
-                ht1 = hts_of_junction(g.link[j1].jn)
-                ht2 = hts_of_junction(g.link[j2].jn)
+                ht1 = g.jn_hts(j1)
+                ht2 = g.jn_hts(j2)
                 inclusion = (set(ht1) & set(ht2)) - set(_ht)
                 if not inclusion:
                     continue
@@ -437,8 +480,8 @@ def _call_novel(
                     for n, q in product(nodes1, nodes2):
                         j1 = (_j[0], n)
                         j2 = (q, _j[1])
-                        nht = hts_of_junction(g.link[j1].jn)
-                        pht = hts_of_junction(g.link[j2].jn)
+                        nht = g.jn_hts(j1)
+                        pht = g.jn_hts(j2)
                         inclusion = set(nht) & set(pht)
                         if not inclusion:
                             continue
@@ -558,7 +601,7 @@ def _call_novel(
                 found = _frontier_search(g, _j[1], exonic_next, opts.isw, forward=True)
                 if found is not None:
                     j1 = (_j[0], found)
-                    _genes = _genes_of_hts(hts_of_junction(g.link[j1].jn), t2g)
+                    _genes = _genes_of_hts(g.jn_hts(j1), t2g)
                     if len(_genes) > 1:
                         print("Skipping SS due to multiple genes", file=log)
                     else:
@@ -584,7 +627,7 @@ def _call_novel(
                 found = _frontier_search(g, _j[0], exonic_prev, opts.isw, forward=False)
                 if found is not None:
                     j1 = (found, _j[1])
-                    _genes = _genes_of_hts(hts_of_junction(g.link[j1].jn), t2g)
+                    _genes = _genes_of_hts(g.jn_hts(j1), t2g)
                     if len(_genes) > 1:
                         print("Skipping SS due to multiple genes", file=log)
                     else:
@@ -651,7 +694,7 @@ def _call_novel(
             if g.rc(_j) < opts.rca:
                 continue
             jn = g.link[_j].jn
-            _ht = hts_of_junction(jn)
+            _ht = g.jn_hts(_j)
             _genes = _genes_of_hts(_ht, t2g)
             if len(_genes) > 1:
                 continue
@@ -660,8 +703,8 @@ def _call_novel(
             _exons1 = _same_gene_exons(g.exset(_j[1]), _genes, t2g)
             assert len(_exons0) > 0 and len(_exons1) > 0
 
-            Js1 = set(x for x in g.novel_junctions if x[0] == _j[0]) - set([_j])
-            Js2 = set(x for x in g.novel_junctions if x[1] == _j[1]) - set([_j])
+            Js1 = g.nj_by_head.get(_j[0], g._empty_j) - set([_j])
+            Js2 = g.nj_by_tail.get(_j[1], g._empty_j) - set([_j])
 
             if "ES" in events:
                 if len(Js1) > 0 and len(Js2) > 0:
@@ -702,33 +745,56 @@ def _call_novel(
                     if (str(x), _j[1]) in g.link and (str(x), _j[1]) not in g.junctions
                 )
                 if head_ok and tail_ok:
-                    exons0_end = [
-                        e
-                        for e in _exons0
-                        if all(e not in g.exset(x) for x in g.out(_j[0]))
-                    ]
-                    exons1_start = [
-                        e
-                        for e in _exons1
-                        if all(e not in g.exset(x) for x in g.inc(_j[1]))
-                    ]
+                    # "e continues on no successor/predecessor" == absence
+                    # from the union of their exon sets
+                    out_union: Set[str] = set()
+                    for x in g.out(_j[0]):
+                        out_union |= g.exset(x)
+                    inc_union: Set[str] = set()
+                    for x in g.inc(_j[1]):
+                        inc_union |= g.exset(x)
+                    exons0_end = [e for e in _exons0 if e not in out_union]
+                    exons1_start = [e for e in _exons1 if e not in inc_union]
+                    # pair condition "share a haplotype-aware transcript" is
+                    # just label-transcript equality (exon labels name one
+                    # transcript each); group to avoid the full product
+                    by_t: Dict[str, List[str]] = {}
+                    for e1x in exons1_start:
+                        by_t.setdefault(_exon_label_th(e1x)[0], []).append(e1x)
                     exon_pairs = [
                         (e0, e1)
-                        for (e0, e1) in product(exons0_end, exons1_start)
-                        if len(set(hts_of_exon(e0)) & set(hts_of_exon(e1))) > 0
+                        for e0 in exons0_end
+                        for e1 in by_t.get(_exon_label_th(e0)[0], ())
                     ]
                     if exon_pairs:
                         subpath = [_j[0]]
+                        dead_end = False
                         while subpath[-1] != _j[1]:
                             onodes = [x for x in g.out(subpath[-1]) if x <= _j[1]]
-                            if len(subpath) == 1:
+                            if len(subpath) == 1 and _j[1] in onodes:
                                 onodes.remove(_j[1])
                             if _j[1] in onodes:
                                 subpath.append(_j[1])
                             else:
                                 onodes = [x for x in onodes if len(g.out(x)) > 0]
+                                if not onodes:
+                                    # DIVERGENCE from the reference: its greedy
+                                    # walk dead-ends here and crashes with
+                                    # max() on an empty list (call.py:1049) —
+                                    # the lexicographic `x <= _j[1]` filter
+                                    # wrongly excludes nodes at scale. We skip
+                                    # the candidate event and keep calling.
+                                    dead_end = True
+                                    break
                                 best = max(onodes, key=lambda x: g.nc(x))
                                 subpath.append(best)
+                        if dead_end:
+                            print(
+                                f"Skipping novel IR at {_j[0]}>{_j[1]}: "
+                                "greedy intron walk dead-ended",
+                                file=log,
+                            )
+                            continue
                         if (
                             sum(g.seg[x].length for x in subpath[1:-1])
                             >= opts.minintronsize
