@@ -161,6 +161,58 @@ def _cmd_map(argv):
     return 0
 
 
+def _cmd_sim(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu sim")
+    ap.add_argument("FA")
+    ap.add_argument("GTF")
+    ap.add_argument("-o", dest="prefix", default="sim")
+    ap.add_argument("-n", dest="n_events", type=int, default=8)
+    ap.add_argument("-r", dest="reads", type=int, default=60)
+    ap.add_argument("-l", dest="read_len", type=int, default=150)
+    ap.add_argument("-e", dest="error_rate", type=float, default=0.001)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.simulate import simulate
+
+    simulate(
+        args.FA,
+        args.GTF,
+        args.prefix,
+        n_events=args.n_events,
+        reads_per_isoform=args.reads,
+        read_len=args.read_len,
+        error_rate=args.error_rate,
+        seed=args.seed,
+    )
+    return 0
+
+
+def _cmd_eval(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu eval")
+    ap.add_argument("TRUTH")
+    ap.add_argument("REMAP_CSV")
+    ap.add_argument("--relax", type=int, default=3)
+    ap.add_argument("--min-dpsi", dest="min_dpsi", type=float, default=0.0)
+    ap.add_argument("--min-w", dest="min_w", type=float, default=0.0)
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.compare import (
+        parse_quant_remap,
+        parse_truth,
+        print_scores,
+        score,
+    )
+
+    results = score(
+        parse_truth(args.TRUTH),
+        parse_quant_remap(args.REMAP_CSV),
+        relax=args.relax,
+        min_dpsi=args.min_dpsi,
+        min_w=args.min_w,
+    )
+    print_scores(results)
+    return 0
+
+
 _COMMANDS = {
     "build": _cmd_build,
     "augment": _cmd_augment,
@@ -168,6 +220,8 @@ _COMMANDS = {
     "quant": _cmd_quant,
     "remap": _cmd_remap,
     "map": _cmd_map,
+    "sim": _cmd_sim,
+    "eval": _cmd_eval,
 }
 
 _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
@@ -178,6 +232,8 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     quant       quantify events comparing conditions
     remap       remap events to reference haplotype
     map         align reads to the spliced pangenome (GAF output)
+    sim         simulate AS-event reads with ground truth
+    eval        score called events against simulation truth (P/R/F1)
     version     print the version
 """
 

@@ -21,11 +21,12 @@ from __future__ import annotations
 
 import sys
 from bisect import bisect_right
+
+import numpy as np
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from pantas_tpu.io.fasta import revcomp
-from pantas_tpu.io.gfa import Gfa
 
 MISMATCH_PENALTY = 4  # max-window scoring: match +1, mismatch -penalty
 
@@ -38,48 +39,107 @@ class PathRecord:
     seq: str
 
 
+def load_alignment_paths(
+    gfa_path: str, ref_transcripts_only: bool = True
+) -> List[PathRecord]:
+    """Stream a GFA, materializing only the alignment-target paths.
+
+    Avoids building step tuples for the (potentially tens of thousands of)
+    haplotype transcript copies the mapper never aligns against.
+    """
+    seqs: Dict[str, str] = {}
+    out: List[PathRecord] = []
+    with open(gfa_path) as fh:
+        for line in fh:
+            kind = line[0] if line else ""
+            if kind == "S":
+                t = line.split("\t", 3)
+                seqs[t[1]] = t[2].rstrip("\n")
+            elif kind == "P":
+                _, name, steps_s, *_ = line.rstrip("\n").split("\t")
+                if ref_transcripts_only and not (
+                    name.split("_")[-1].startswith("R") or "_" not in name
+                ):
+                    continue
+                nodes = [s[:-1] for s in steps_s.split(",")]
+                offsets = []
+                total = 0
+                node_seqs = [seqs[n] for n in nodes]
+                for s in node_seqs:
+                    offsets.append(total)
+                    total += len(s)
+                out.append(PathRecord(name, nodes, offsets, "".join(node_seqs)))
+    return out
+
+
+_BASE_CODE = np.zeros(256, dtype=np.uint64)
+_BASE_CODE[ord("C")] = _BASE_CODE[ord("c")] = 1
+_BASE_CODE[ord("G")] = _BASE_CODE[ord("g")] = 2
+_BASE_CODE[ord("T")] = _BASE_CODE[ord("t")] = 3
+
+
+def _pack_kmers(seq: str, k: int) -> np.ndarray:
+    """Exact 2-bit packed k-mers (k <= 32) of a sequence, vectorized."""
+    codes = _BASE_CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    # rolling pack: kmer[i] = sum_j codes[i+j] << 2*(k-1-j)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        out |= codes[j : j + n] << np.uint64(2 * (k - 1 - j))
+    return out
+
+
 class PathIndex:
-    """k-mer index over selected embedded paths of a GFA."""
+    """Packed-u64 k-mer index over selected embedded paths of a GFA.
+
+    k-mers are exact 2-bit packings sorted into one array; lookups are two
+    binary searches. High-multiplicity seeds (> max_hits) are skipped at
+    query time.
+    """
 
     def __init__(
         self,
-        gfa: Gfa,
+        paths: List[PathRecord],
         k: int = 21,
         max_hits: int = 64,
-        ref_transcripts_only: bool = True,
     ):
+        assert k <= 32
         self.k = k
-        self.paths: List[PathRecord] = []
-        self.kmers: Dict[str, List[Tuple[int, int]]] = {}
-        self._overflow: set = set()
+        self.max_hits = max_hits
+        self.paths = paths
 
-        for p in gfa.paths:
-            if ref_transcripts_only and not (
-                p.name.split("_")[-1].startswith("R") or "_" not in p.name
-            ):
-                continue
-            nodes = [sid for sid, _ in p.steps]
-            seqs = [gfa.segment(sid).seq for sid in nodes]
-            offsets = []
-            total = 0
-            for s in seqs:
-                offsets.append(total)
-                total += len(s)
-            rec = PathRecord(p.name, nodes, offsets, "".join(seqs))
-            self.paths.append(rec)
-
+        kmer_chunks = []
+        pid_chunks = []
+        pos_chunks = []
         for pi, rec in enumerate(self.paths):
-            seq = rec.seq
-            for i in range(0, len(seq) - k + 1):
-                km = seq[i : i + k]
-                if km in self._overflow:
-                    continue
-                hits = self.kmers.setdefault(km, [])
-                if len(hits) >= max_hits:
-                    self._overflow.add(km)
-                    del self.kmers[km]
-                    continue
-                hits.append((pi, i))
+            km = _pack_kmers(rec.seq, k)
+            kmer_chunks.append(km)
+            pid_chunks.append(np.full(len(km), pi, dtype=np.int32))
+            pos_chunks.append(np.arange(len(km), dtype=np.int32))
+        if kmer_chunks:
+            kmers = np.concatenate(kmer_chunks)
+            pids = np.concatenate(pid_chunks)
+            poss = np.concatenate(pos_chunks)
+            order = np.argsort(kmers, kind="stable")
+            self._kmers = kmers[order]
+            self._pids = pids[order]
+            self._poss = poss[order]
+        else:
+            self._kmers = np.zeros(0, dtype=np.uint64)
+            self._pids = self._poss = np.zeros(0, dtype=np.int32)
+
+    @property
+    def kmers(self):  # diagnostic: number of indexed positions
+        return self._kmers
+
+    def _lookup(self, packed: int):
+        lo = int(np.searchsorted(self._kmers, np.uint64(packed), side="left"))
+        hi = int(np.searchsorted(self._kmers, np.uint64(packed), side="right"))
+        if hi - lo > self.max_hits:
+            return range(0, 0)
+        return range(lo, hi)
 
     def seed(
         self, read: str, qlo: int = 0, qhi: Optional[int] = None
@@ -97,8 +157,14 @@ class PathIndex:
         for q in offs:
             if q < qlo or q + k > qhi:
                 continue
-            for pi, pos in self.kmers.get(read[q : q + k], ()):
-                key = (pi, pos - q)
+            sub = read[q : q + k]
+            if "N" in sub or "n" in sub:
+                continue
+            packed = 0
+            for ch in sub:
+                packed = (packed << 2) | int(_BASE_CODE[ord(ch)])
+            for i in self._lookup(packed):
+                key = (int(self._pids[i]), int(self._poss[i]) - q)
                 votes[key] = votes.get(key, 0) + 1
         return votes
 
@@ -177,9 +243,12 @@ def _best_piece(
     qhi: Optional[int] = None,
     max_mismatch_frac: float = 0.08,
     min_span: int = 20,
+    exclude: Optional[Tuple[int, int]] = None,
 ) -> Optional[Piece]:
     qhi = len(seq) if qhi is None else qhi
     votes = index.seed(seq, qlo, qhi)
+    if exclude is not None:
+        votes.pop(exclude, None)
     if not votes:
         return None
     best: Optional[Piece] = None
@@ -218,23 +287,72 @@ def _piece_nodes(index: PathIndex, p: Piece) -> Tuple[List[str], int, int, int]:
     return nodes, walk_len, start, tail
 
 
-def _try_join(index: PathIndex, first: Piece, second: Piece) -> bool:
-    """Can these q-contiguous pieces join across a (possibly novel) junction?"""
-    if first.qend != second.qstart:
-        return False
+def _make_piece(seq: str, pseq: str, diag: int, qstart: int, qend: int) -> Piece:
+    """Gapless piece over an exact read range (ops + mismatch recount)."""
+    ops: List[Tuple[str, object]] = []
+    mism = 0
+    run = 0
+    for i in range(qstart, qend):
+        if seq[i] == pseq[diag + i]:
+            run += 1
+        else:
+            if run:
+                ops.append((":", run))
+                run = 0
+            mism += 1
+            ops.append(("*", pseq[diag + i].lower() + seq[i].lower()))
+    if run:
+        ops.append((":", run))
+    return Piece(
+        path_idx=-1,
+        qstart=qstart,
+        qend=qend,
+        pstart=diag + qstart,
+        pend=diag + qend,
+        mismatches=mism,
+        ops=ops,
+    )
+
+
+def _snap_join(
+    index: PathIndex, seq: str, first: Piece, second: Piece
+) -> Optional[Tuple[Piece, Piece]]:
+    """Find a split point where both pieces meet node boundaries.
+
+    Chance matches let extensions overshoot a junction by a few bases, so
+    the exact split is searched over the pieces' meeting region: read
+    offset c splits validly when piece1 trimmed to [qstart1, c) ends on a
+    node boundary of its path AND piece2 trimmed to [c, qend2) starts on a
+    node boundary of its path, with the junction in topological order.
+    """
     rec1 = index.paths[first.path_idx]
     rec2 = index.paths[second.path_idx]
-    if not _node_boundary_end(rec1, first.pend):
-        return False
-    i2 = bisect_right(rec2.offsets, second.pstart) - 1
-    if rec2.offsets[i2] != second.pstart:
-        return False
-    n1, _, _, _ = _piece_nodes(index, first)
-    n2, _, _, _ = _piece_nodes(index, second)
-    try:
-        return int(n1[-1]) < int(n2[0])
-    except ValueError:
-        return n1[-1] != n2[0]
+    diag1 = first.pstart - first.qstart
+    diag2 = second.pstart - second.qstart
+    lo = max(second.qstart, first.qstart + 1)
+    hi = min(first.qend, second.qend - 1)
+    for c in range(lo, hi + 1):
+        pe1 = diag1 + c
+        ps2 = diag2 + c
+        if not _node_boundary_end(rec1, pe1) or pe1 <= first.pstart:
+            continue
+        i2 = bisect_right(rec2.offsets, ps2) - 1
+        if i2 < 0 or rec2.offsets[i2] != ps2 or ps2 >= len(rec2.seq):
+            continue
+        # topological order across the junction
+        i1 = bisect_right(rec1.offsets, pe1 - 1) - 1
+        try:
+            if int(rec1.nodes[i1]) >= int(rec2.nodes[i2]):
+                continue
+        except ValueError:
+            if rec1.nodes[i1] == rec2.nodes[i2]:
+                continue
+        p1 = _make_piece(seq, rec1.seq, diag1, first.qstart, c)
+        p2 = _make_piece(seq, rec2.seq, diag2, c, second.qend)
+        p1.path_idx = first.path_idx
+        p2.path_idx = second.path_idx
+        return p1, p2
+    return None
 
 
 @dataclass
@@ -276,16 +394,26 @@ def align_read(
             continue
         cand = SplicedAlignment([p1], reverse)
 
-        # try to rescue a clipped tail with a second piece
+        # try to rescue a clipped tail with a second piece (allow a few
+        # bases of overlap: extensions overshoot junctions on chance matches)
+        excl = (p1.path_idx, p1.pstart - p1.qstart)
         if L - p1.qend >= k:
-            p2 = _best_piece(index, seq, p1.qend, L, max_mismatch_frac)
-            if p2 is not None and _try_join(index, p1, p2):
-                cand = SplicedAlignment([p1, p2], reverse)
+            p2 = _best_piece(
+                index, seq, max(0, p1.qend - 8), L, max_mismatch_frac, exclude=excl
+            )
+            if p2 is not None and p2.qend > p1.qend:
+                snapped = _snap_join(index, seq, p1, p2)
+                if snapped is not None:
+                    cand = SplicedAlignment(list(snapped), reverse)
         # or a clipped head
         if cand.qstart >= k and len(cand.pieces) == 1:
-            p0 = _best_piece(index, seq, 0, p1.qstart, max_mismatch_frac)
-            if p0 is not None and _try_join(index, p0, p1):
-                cand = SplicedAlignment([p0, p1], reverse)
+            p0 = _best_piece(
+                index, seq, 0, min(L, p1.qstart + 8), max_mismatch_frac, exclude=excl
+            )
+            if p0 is not None and p0.qstart < p1.qstart:
+                snapped = _snap_join(index, seq, p0, p1)
+                if snapped is not None:
+                    cand = SplicedAlignment(list(snapped), reverse)
 
         if cand.span < L // 2:
             continue
@@ -394,8 +522,7 @@ def map_reads(
 ) -> Tuple[int, int]:
     """Map reads; returns (mapped, total)."""
     print("[map] loading graph & indexing paths..", file=log)
-    gfa = Gfa.load(gfa_path)
-    index = PathIndex(gfa, k=k)
+    index = PathIndex(load_alignment_paths(gfa_path), k=k)
     print(
         f"[map] indexed {len(index.paths)} paths, {len(index.kmers)} kmers",
         file=log,

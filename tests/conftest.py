@@ -30,6 +30,8 @@ sys.path.insert(0, str(REPO_ROOT))
 
 REFERENCE = Path("/root/reference")
 
+import subprocess
+
 import pytest
 
 
@@ -40,3 +42,35 @@ def reference_scripts():
     if not p.is_dir():
         pytest.skip("reference implementation not available")
     return p
+
+
+def run_cli(cmd, out_path=None, hashseed=None, env_extra=None):
+    """Run a pipeline command (ours or reference) with repo on PYTHONPATH."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO_ROOT)
+    if hashseed is not None:
+        env["PYTHONHASHSEED"] = hashseed
+    if env_extra:
+        env.update(env_extra)
+    if out_path is not None:
+        with open(out_path, "w") as out:
+            proc = subprocess.run(cmd, stdout=out, stderr=subprocess.PIPE, env=env, text=True)
+    else:
+        proc = subprocess.run(cmd, capture_output=True, env=env, text=True)
+    assert proc.returncode == 0, getattr(proc, "stderr", "")[-2000:]
+    return proc
+
+
+@pytest.fixture(scope="session")
+def example_graph(tmp_path_factory):
+    """example/4 annotated pangenome built once per session by OUR build."""
+    example = REFERENCE / "example"
+    if not example.is_dir():
+        pytest.skip("example data not available")
+    wd = tmp_path_factory.mktemp("ex4graph")
+    run_cli(
+        [sys.executable, "-m", "pantas_tpu", "build",
+         str(example / "4.fa"), str(example / "4.gtf"), str(example / "4.vcf.gz"),
+         "-o", str(wd)],
+    )
+    return wd / "pantranscriptome-annotated.gfa"

@@ -36,17 +36,12 @@ def _run(cmd, out_path=None, hashseed=None):
 
 
 @pytest.fixture(scope="session")
-def example_pipeline(tmp_path_factory, reference_scripts):
+def example_pipeline(tmp_path_factory, reference_scripts, example_graph):
     if not EXAMPLE.is_dir():
         pytest.skip("example data not available")
     wd = tmp_path_factory.mktemp("ex4")
-    gfa = wd / "pantranscriptome-annotated.gfa"
+    gfa = example_graph
     gaf = wd / "sample.gaf"
-    _run(
-        [sys.executable, "-m", "pantas_tpu", "build",
-         str(EXAMPLE / "4.fa"), str(EXAMPLE / "4.gtf"), str(EXAMPLE / "4.vcf.gz"),
-         "-o", str(wd)],
-    )
     _run(
         [sys.executable, "-m", "pantas_tpu", "map", str(gfa),
          str(EXAMPLE / "reads_1.fq"), str(EXAMPLE / "reads_2.fq")],
