@@ -13,6 +13,7 @@
 
 #include <cctype>
 #include <cstdint>
+#include <unistd.h>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -476,6 +477,135 @@ void gafcov_novel_fill(void *h, uint64_t *keys, int32_t *vals) {
     keys[i] = E->novel_order[i];
     vals[i] = E->novel[E->novel_order[i]];
   }
+}
+
+// Emit the augmented GFA: copy gfa_in appending NC/IL/OL to S lines and RC
+// to L lines (byte-identical to the reference augmenter's output), then
+// novel links in first-seen order. out_fd is a writable file descriptor.
+int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
+  Engine *E = (Engine *)h;
+  FILE *in = fopen(gfa_in, "rb");
+  if (!in) return -1;
+  FILE *out = fdopen(dup(out_fd), "wb");
+  if (!out) {
+    fclose(in);
+    return -2;
+  }
+
+  // per-node IL/OL offsets in first-seen order
+  std::vector<std::vector<int64_t>> il_offs(E->n_nodes), ol_offs(E->n_nodes);
+  int64_t hist_total = E->n_nodes ? (E->ol_base[0] - E->il_base[0]) : 0;
+  for (int64_t slot : E->seen_order) {
+    bool is_il = slot < E->il_base[0] + hist_total;
+    const int64_t *base = is_il ? E->il_base : E->ol_base;
+    // binary search: node with greatest base <= slot
+    int64_t lo = 0, hi = E->n_nodes - 1;
+    while (lo < hi) {
+      int64_t mid = (lo + hi + 1) / 2;
+      if (base[mid] <= slot) lo = mid;
+      else hi = mid - 1;
+    }
+    (is_il ? il_offs : ol_offs)[lo].push_back(slot - base[lo]);
+  }
+
+  // slurp the GFA (graph text fits memory by construction of this pipeline)
+  fseek(in, 0, SEEK_END);
+  long fsize = ftell(in);
+  fseek(in, 0, SEEK_SET);
+  char *buf = (char *)malloc(fsize + 1);
+  if (fread(buf, 1, fsize, in) != (size_t)fsize) {
+    free(buf);
+    fclose(in);
+    fclose(out);
+    return -3;
+  }
+  buf[fsize] = '\n';
+
+  char tag[256];
+  {
+    size_t start = 0;
+    while (start < (size_t)fsize) {
+      char *nl = (char *)memchr(buf + start, '\n', fsize + 1 - start);
+      const char *ls = buf + start;
+      const char *le = nl;
+      // strip trailing whitespace like the reference's line.strip()
+      while (le > ls && (le[-1] == '\r' || le[-1] == ' ' || le[-1] == '\t')) --le;
+      if (le > ls && ls[0] == 'S') {
+        // S <tab> id <tab> seq ...
+        const char *p = ls + 1;
+        while (p < le && (*p == '\t' || *p == ' ')) ++p;
+        const char *q = p;
+        while (q < le && *q != '\t' && *q != ' ') ++q;
+        int64_t id = strtoll(p, nullptr, 10);
+        int64_t ni = E->node_index(id);
+        fwrite(ls, 1, le - ls, out);
+        int64_t nc = (ni >= 0) ? E->counts[ni] : 0;
+        int n = snprintf(tag, sizeof tag, "\tNC:i:%lld", (long long)nc);
+        fwrite(tag, 1, n, out);
+        if (ni >= 0 && !il_offs[ni].empty()) {
+          fputs("\tIL:Z:", out);
+          bool first = true;
+          for (int64_t off : il_offs[ni]) {
+            n = snprintf(tag, sizeof tag, "%s%lld.%d", first ? "" : ",",
+                         (long long)off, E->counts[E->il_base[ni] + off]);
+            fwrite(tag, 1, n, out);
+            first = false;
+          }
+        }
+        if (ni >= 0 && !ol_offs[ni].empty()) {
+          fputs("\tOL:Z:", out);
+          bool first = true;
+          for (int64_t off : ol_offs[ni]) {
+            n = snprintf(tag, sizeof tag, "%s%lld.%d", first ? "" : ",",
+                         (long long)off, E->counts[E->ol_base[ni] + off]);
+            fwrite(tag, 1, n, out);
+            first = false;
+          }
+        }
+        fputc('\n', out);
+      } else if (le > ls && ls[0] == 'L') {
+        if (le - ls == 1) {
+          // bare 'L' line is skipped by the reference
+        } else {
+          const char *p = ls + 1;
+          while (p < le && (*p == '\t' || *p == ' ')) ++p;
+          int64_t a = strtoll(p, nullptr, 10);
+          // skip 2 fields (from orient)
+          for (int f = 0; f < 2; ++f) {
+            while (p < le && *p != '\t' && *p != ' ') ++p;
+            while (p < le && (*p == '\t' || *p == ' ')) ++p;
+          }
+          int64_t b = strtoll(p, nullptr, 10);
+          int64_t ai = E->node_index(a), bi = E->node_index(b);
+          int32_t w = 0;
+          if (ai >= 0 && bi >= 0) {
+            int64_t slot = E->edge_slot(((uint64_t)ai << 32) | (uint64_t)bi);
+            if (slot >= 0) w = E->counts[E->rc_base + slot];
+          }
+          fwrite(ls, 1, le - ls, out);
+          int n = snprintf(tag, sizeof tag, "\tRC:i:%d\n", w);
+          fwrite(tag, 1, n, out);
+        }
+      } else {
+        fwrite(ls, 1, le - ls, out);
+        fputc('\n', out);
+      }
+      start = (nl - buf) + 1;
+    }
+  }
+  free(buf);
+  fclose(in);
+
+  // novel links in first-seen order
+  for (uint64_t key : E->novel_order) {
+    int64_t a = E->ids ? E->ids[key >> 32] : (int64_t)(key >> 32) + 1;
+    int64_t b = E->ids ? E->ids[key & 0xFFFFFFFFu] : (int64_t)(key & 0xFFFFFFFFu) + 1;
+    int n = snprintf(tag, sizeof tag, "L\t%lld\t+\t%lld\t+\t*\tRC:i:%d\tID:Z:N\n",
+                     (long long)a, (long long)b, E->novel[key]);
+    fwrite(tag, 1, n, out);
+  }
+  fclose(out);
+  return 0;
 }
 
 int64_t gafcov_rejected(void *h) { return ((Engine *)h)->rejected; }

@@ -8,6 +8,7 @@ reference augmenter.
 from __future__ import annotations
 
 import ctypes
+import io
 import subprocess
 import sys
 from pathlib import Path
@@ -81,6 +82,8 @@ def _load():
     for name in ("gafcov_rejected", "gafcov_skipped", "gafcov_accepted"):
         getattr(lib, name).restype = i64
         getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.gafcov_emit.restype = i64
+    lib.gafcov_emit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.gafcov_destroy.restype = None
     lib.gafcov_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -190,6 +193,12 @@ class NativeCoverage:
                 counts.edge[(a, b)] = int(v)
         return counts
 
+    def emit(self, gfa_in: str, out_fd: int) -> None:
+        """Write the augmented GFA natively to a file descriptor."""
+        rc = self.lib.gafcov_emit(self.handle, str(gfa_in).encode(), out_fd)
+        if rc != 0:
+            raise IOError(f"gafcov_emit failed ({rc})")
+
     def __del__(self):
         try:
             if getattr(self, "handle", None):
@@ -214,8 +223,22 @@ def augment_gfa_native(
     eng = NativeCoverage(tensors)
     print("Augmentation by GAF alignments (native)", file=log)
     eng.process_file(gaf_path, mapq_thr)
-    counts = eng.to_counts()
-    print(f"Rejected alignments: {counts.rejected}", file=log)
+    print(f"Rejected alignments: {int(eng.lib.gafcov_rejected(eng.handle))}", file=log)
     print("Annotating GFA", file=log)
+    try:
+        out.flush()
+        fd = out.fileno()
+    except (AttributeError, OSError, io.UnsupportedOperation):
+        fd = None
+    if fd is not None:
+        eng.emit(gfa_path, fd)
+        counts = None
+        # stats-only view (emission already done natively)
+        counts = CoverageCounts()
+        counts.rejected = int(eng.lib.gafcov_rejected(eng.handle))
+        counts.skipped = int(eng.lib.gafcov_skipped(eng.handle))
+        counts.accepted = int(eng.lib.gafcov_accepted(eng.handle))
+        return counts
+    counts = eng.to_counts()
     emit_augmented_gfa(gfa_path, counts, out)
     return counts
