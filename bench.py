@@ -89,10 +89,13 @@ def bench_native(gfa, big, n_reads):
 
     from pantas_tpu.native import augment_gfa_native
 
-    log("timing native engine..")
+    threads = os.cpu_count() or 1
+    log(f"timing native engine ({threads} parse threads)..")
     t0 = time.time()
     with open(os.devnull, "w") as devnull:
-        augment_gfa_native(str(big), str(gfa), out=devnull, log=io.StringIO())
+        augment_gfa_native(
+            str(big), str(gfa), out=devnull, log=io.StringIO(), threads=threads
+        )
     dt = time.time() - t0
     log(f"native: {n_reads} reads in {dt:.2f}s = {n_reads / dt:.0f} reads/s")
     return n_reads / dt

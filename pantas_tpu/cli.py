@@ -53,6 +53,7 @@ def _cmd_augment(argv):
         help="coverage engine: native C++ (fastest host), device (TPU scatter-add), "
         "host (pure python); auto prefers native",
     )
+    ap.add_argument("-t", dest="threads", type=int, default=1, help="native parse threads")
     args = ap.parse_args(argv)
 
     engine = args.engine
@@ -60,7 +61,10 @@ def _cmd_augment(argv):
         try:
             from pantas_tpu.native import augment_gfa_native
 
-            augment_gfa_native(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr)
+            augment_gfa_native(
+                args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr,
+                threads=args.threads,
+            )
             return 0
         except Exception as e:
             if engine == "native":

@@ -13,11 +13,15 @@
 
 #include <cctype>
 #include <cstdint>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
 #include <unistd.h>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -375,9 +379,120 @@ void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
   }
 }
 
+// process every line in [begin, end); returns line count
+int64_t process_range(Engine &E, const char *begin, const char *end,
+                      int mapq_thr, double max_dv) {
+  int64_t lines = 0;
+  const char *p = begin;
+  while (p < end) {
+    const char *nl = (const char *)memchr(p, '\n', end - p);
+    const char *le = nl ? nl : end;
+    const char *ls = p;
+    while (le > ls && (le[-1] == '\r' || le[-1] == ' ')) --le;
+    if (le > ls) {
+      process_line(E, ls, le, mapq_thr, max_dv);
+      ++lines;
+    }
+    p = nl ? nl + 1 : end;
+  }
+  return lines;
+}
+
+Engine *clone_config(const Engine &E) {
+  Engine *c = new Engine();
+  c->n_nodes = E.n_nodes;
+  c->ids = E.ids;
+  c->node_len = E.node_len;
+  c->edge_key = E.edge_key;
+  c->n_edges = E.n_edges;
+  c->il_base = E.il_base;
+  c->ol_base = E.ol_base;
+  c->rc_base = E.rc_base;
+  c->total_slots = E.total_slots;
+  c->dense_ids = E.dense_ids;
+  c->counts.assign(E.total_slots, 0);
+  c->slot_seen.assign(E.total_slots, 0);
+  return c;
+}
+
+// merge a shard into main IN CHUNK ORDER, preserving global first-seen
+// orders (a slot/edge first seen by chunk i precedes anything first seen by
+// chunk i+1, and within-chunk order is the stream order) — this keeps the
+// multi-threaded augmented-GFA emission byte-identical to a serial run.
+void merge_shard(Engine &M, Engine &S) {
+  for (int64_t i = 0; i < M.total_slots; ++i) M.counts[i] += S.counts[i];
+  for (int64_t slot : S.seen_order) {
+    if (!M.slot_seen[slot]) {
+      M.slot_seen[slot] = 1;
+      M.seen_order.push_back(slot);
+    }
+  }
+  for (uint64_t key : S.novel_order) {
+    auto it = M.novel.find(key);
+    if (it == M.novel.end()) {
+      M.novel.emplace(key, S.novel[key]);
+      M.novel_order.push_back(key);
+    } else {
+      it->second += S.novel[key];
+    }
+  }
+  M.rejected += S.rejected;
+  M.skipped += S.skipped;
+  M.accepted += S.accepted;
+}
+
 }  // namespace
 
 extern "C" {
+
+// multi-threaded file processing: mmap + line-aligned chunking, one private
+// accumulator per thread, ordered merge (byte-identical emission preserved)
+int64_t gafcov_process_file_mt(void *h, const char *path, int mapq_thr,
+                               double max_dv, int n_threads) {
+  Engine *E = (Engine *)h;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    close(fd);
+    return st.st_size == 0 ? 0 : -1;
+  }
+  size_t size = st.st_size;
+  char *data = (char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (data == MAP_FAILED) return -1;
+
+  if (n_threads < 1) n_threads = 1;
+  std::vector<const char *> cut(n_threads + 1);
+  cut[0] = data;
+  cut[n_threads] = data + size;
+  for (int t = 1; t < n_threads; ++t) {
+    const char *guess = data + (size * t) / n_threads;
+    const char *nl = (const char *)memchr(guess, '\n', data + size - guess);
+    cut[t] = nl ? nl + 1 : data + size;
+  }
+
+  std::vector<Engine *> shards(n_threads);
+  std::vector<int64_t> lines(n_threads, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) {
+    shards[t] = clone_config(*E);
+    threads.emplace_back([&, t]() {
+      lines[t] = process_range(*shards[t], cut[t], cut[t + 1], mapq_thr, max_dv);
+    });
+  }
+  int64_t total = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    threads[t].join();
+  }
+  for (int t = 0; t < n_threads; ++t) {
+    merge_shard(*E, *shards[t]);
+    total += lines[t];
+    delete shards[t];
+  }
+  munmap(data, size);
+  return total;
+}
 
 void *gafcov_create(int64_t n_nodes, const int64_t *ids, const int32_t *node_len,
                     const uint64_t *edge_key, int64_t n_edges,

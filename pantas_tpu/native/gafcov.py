@@ -32,6 +32,7 @@ def build_library(force: bool = False) -> Path:
             "-O3",
             "-march=native",
             "-std=c++17",
+            "-pthread",
             "-shared",
             "-fPIC",
             str(_SRC),
@@ -69,6 +70,10 @@ def _load():
     ]
     lib.gafcov_process_file.restype = i64
     lib.gafcov_process_file.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, f64]
+    lib.gafcov_process_file_mt.restype = i64
+    lib.gafcov_process_file_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, f64, ctypes.c_int,
+    ]
     lib.gafcov_counts.restype = P(i32)
     lib.gafcov_counts.argtypes = [ctypes.c_void_p]
     lib.gafcov_seen_count.restype = i64
@@ -130,10 +135,21 @@ class NativeCoverage:
             1 if dense else 0,
         )
 
-    def process_file(self, gaf_path: str, mapq_thr: int = 20, max_dv: float = 0.1) -> int:
-        n = self.lib.gafcov_process_file(
-            self.handle, str(gaf_path).encode(), mapq_thr, max_dv
-        )
+    def process_file(
+        self,
+        gaf_path: str,
+        mapq_thr: int = 20,
+        max_dv: float = 0.1,
+        threads: int = 1,
+    ) -> int:
+        if threads > 1:
+            n = self.lib.gafcov_process_file_mt(
+                self.handle, str(gaf_path).encode(), mapq_thr, max_dv, threads
+            )
+        else:
+            n = self.lib.gafcov_process_file(
+                self.handle, str(gaf_path).encode(), mapq_thr, max_dv
+            )
         if n < 0:
             raise IOError(f"cannot read {gaf_path}")
         return int(n)
@@ -215,6 +231,7 @@ def augment_gfa_native(
     mapq_thr: int = 20,
     log=sys.stderr,
     tensors: Optional[GraphTensors] = None,
+    threads: int = 1,
 ) -> CoverageCounts:
     """Augment stage with the native engine (byte-identical output)."""
     print("Read GFA (tensorize)", file=log)
@@ -222,7 +239,7 @@ def augment_gfa_native(
         tensors = compile_gfa(gfa_path)
     eng = NativeCoverage(tensors)
     print("Augmentation by GAF alignments (native)", file=log)
-    eng.process_file(gaf_path, mapq_thr)
+    eng.process_file(gaf_path, mapq_thr, threads=threads)
     print(f"Rejected alignments: {int(eng.lib.gafcov_rejected(eng.handle))}", file=log)
     print("Annotating GFA", file=log)
     try:
