@@ -110,25 +110,43 @@ class PathIndex:
         self.max_hits = max_hits
         self.paths = paths
 
-        kmer_chunks = []
-        pid_chunks = []
-        pos_chunks = []
+        sizes = [max(0, len(rec.seq) - k + 1) for rec in self.paths]
+        total = sum(sizes)
+        kmers = np.zeros(total, dtype=np.uint64)
+        pids = np.zeros(total, dtype=np.int32)
+        poss = np.zeros(total, dtype=np.int32)
+
+        # native pack+sort when available: this environment trap-emulates
+        # AVX numpy kernels, making elementwise u64 ops ~100x slow
+        try:
+            from pantas_tpu.native import kidx_pack, kidx_sort, native_available
+
+            use_native = native_available() and total > 0
+        except Exception:
+            use_native = False
+
+        off = 0
         for pi, rec in enumerate(self.paths):
-            km = _pack_kmers(rec.seq, k)
-            kmer_chunks.append(km)
-            pid_chunks.append(np.full(len(km), pi, dtype=np.int32))
-            pos_chunks.append(np.arange(len(km), dtype=np.int32))
-        if kmer_chunks:
-            kmers = np.concatenate(kmer_chunks)
-            pids = np.concatenate(pid_chunks)
-            poss = np.concatenate(pos_chunks)
-            order = np.argsort(kmers, kind="stable")
-            self._kmers = kmers[order]
-            self._pids = pids[order]
-            self._poss = poss[order]
-        else:
-            self._kmers = np.zeros(0, dtype=np.uint64)
-            self._pids = self._poss = np.zeros(0, dtype=np.int32)
+            n = sizes[pi]
+            if n <= 0:
+                continue
+            if use_native:
+                kidx_pack(rec.seq, k, kmers[off : off + n])
+            else:
+                kmers[off : off + n] = _pack_kmers(rec.seq, k)
+            pids[off : off + n] = pi
+            poss[off : off + n] = np.arange(n, dtype=np.int32)
+            off += n
+
+        if total > 0:
+            if use_native:
+                kidx_sort(kmers, pids, poss)
+            else:
+                order = np.argsort(kmers, kind="stable")
+                kmers, pids, poss = kmers[order], pids[order], poss[order]
+        self._kmers = kmers
+        self._pids = pids
+        self._poss = poss
 
     @property
     def kmers(self):  # diagnostic: number of indexed positions

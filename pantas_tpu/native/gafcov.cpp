@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -728,5 +729,51 @@ int64_t gafcov_skipped(void *h) { return ((Engine *)h)->skipped; }
 int64_t gafcov_accepted(void *h) { return ((Engine *)h)->accepted; }
 
 void gafcov_destroy(void *h) { delete (Engine *)h; }
+
+// --- k-mer index utilities (mapper support) -------------------------------
+// This environment trap-emulates AVX numpy kernels (catastrophically slow
+// elementwise u64 ops), so the mapper's index build runs natively here.
+
+static const uint8_t BASE2[256] = {
+    // defaults 0 (A); set C/G/T below via initializer trick in kidx_pack
+};
+
+// pack 2-bit k-mers of seq[0..len) into out[0..len-k]
+void kidx_pack(const char *seq, int64_t len, int k, uint64_t *out) {
+  auto code = [](char c) -> uint64_t {
+    switch (c) {
+      case 'C': case 'c': return 1;
+      case 'G': case 'g': return 2;
+      case 'T': case 't': return 3;
+      default: return 0;
+    }
+  };
+  (void)BASE2;
+  if (len < k) return;
+  uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  uint64_t cur = 0;
+  for (int64_t i = 0; i < len; ++i) {
+    cur = ((cur << 2) | code(seq[i])) & mask;
+    if (i >= k - 1) out[i - k + 1] = cur;
+  }
+}
+
+// stable argsort (kmers asc); permutes kmers/pids/poss in place
+void kidx_sort(uint64_t *kmers, int32_t *pids, int32_t *poss, int64_t n) {
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = i;
+  std::stable_sort(idx.begin(), idx.end(),
+                   [&](int64_t a, int64_t b) { return kmers[a] < kmers[b]; });
+  std::vector<uint64_t> tk(n);
+  std::vector<int32_t> tp(n), to(n);
+  for (int64_t i = 0; i < n; ++i) {
+    tk[i] = kmers[idx[i]];
+    tp[i] = pids[idx[i]];
+    to[i] = poss[idx[i]];
+  }
+  memcpy(kmers, tk.data(), n * sizeof(uint64_t));
+  memcpy(pids, tp.data(), n * sizeof(int32_t));
+  memcpy(poss, to.data(), n * sizeof(int32_t));
+}
 
 }  // extern "C"

@@ -91,6 +91,10 @@ def _load():
     lib.gafcov_emit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.gafcov_destroy.restype = None
     lib.gafcov_destroy.argtypes = [ctypes.c_void_p]
+    lib.kidx_pack.restype = None
+    lib.kidx_pack.argtypes = [ctypes.c_char_p, i64, ctypes.c_int, P(u64)]
+    lib.kidx_sort.restype = None
+    lib.kidx_sort.argtypes = [P(u64), P(i32), P(i32), i64]
     _lib = lib
     return lib
 
@@ -259,3 +263,20 @@ def augment_gfa_native(
     counts = eng.to_counts()
     emit_augmented_gfa(gfa_path, counts, out)
     return counts
+
+
+def kidx_pack(seq: str, k: int, out: np.ndarray) -> None:
+    """Native 2-bit k-mer packing into a preallocated uint64 array."""
+    lib = _load()
+    lib.kidx_pack(seq.encode(), len(seq), k, _ptr(out, ctypes.c_uint64))
+
+
+def kidx_sort(kmers: np.ndarray, pids: np.ndarray, poss: np.ndarray) -> None:
+    """Native stable argsort-by-kmer applied in place to three arrays."""
+    lib = _load()
+    lib.kidx_sort(
+        _ptr(kmers, ctypes.c_uint64),
+        _ptr(pids, ctypes.c_int32),
+        _ptr(poss, ctypes.c_int32),
+        len(kmers),
+    )
