@@ -167,8 +167,21 @@ def construct(
 
 
 def _wire_alt_tails(g: VariationGraph) -> None:
-    """Connect each site's alternate-chain tails to the ref node after it."""
+    """Connect alternate-chain tails to following nodes.
+
+    Besides the tail→next-ref edge (and deletion bypass), ADJACENT sites
+    (site j's reference span starting right after site i's) get
+    allele-to-allele edges so a haplotype choosing alternates at both sites
+    walks existing edges. Chained adjacent pure-deletion alleles are wired
+    one level deep (deeper chains are vanishingly rare for SNP-dominated
+    inputs and would fall back to ref at threading time).
+    """
     pos_in_ref = {nid: i for i, nid in enumerate(g.ref_path)}
+    head_at: Dict[int, Site] = {}
+    for site in g.sites:
+        if site.ref_nodes:
+            head_at[pos_in_ref[site.ref_nodes[0]]] = site
+
     for site in g.sites:
         if not site.ref_nodes:
             continue
@@ -176,10 +189,35 @@ def _wire_alt_tails(g: VariationGraph) -> None:
         nxt = g.ref_path[tail_idx + 1] if tail_idx + 1 < len(g.ref_path) else None
         head_idx = pos_in_ref[site.ref_nodes[0]]
         prev = g.ref_path[head_idx - 1] if head_idx > 0 else None
-        for chain in site.alt_nodes.values():
-            if chain:
-                if nxt is not None:
-                    g.add_edge(chain[-1], nxt)
-            elif prev is not None and nxt is not None:
-                # pure deletion allele: bypass edge
-                g.add_edge(prev, nxt)
+
+        # sources that can precede whatever follows this site: alt tails,
+        # and (for pure-deletion alleles) the node before the site
+        tails = [c[-1] for c in site.alt_nodes.values() if c]
+        has_deletion = any(not c for c in site.alt_nodes.values())
+
+        for t in tails:
+            if nxt is not None:
+                g.add_edge(t, nxt)
+        if has_deletion and prev is not None and nxt is not None:
+            g.add_edge(prev, nxt)
+
+        # adjacent next site: wire sources to ITS alternate heads too
+        nxt_site = head_at.get(tail_idx + 1)
+        if nxt_site is not None:
+            heads = [c[0] for c in nxt_site.alt_nodes.values() if c]
+            for t in tails:
+                for h in heads:
+                    g.add_edge(t, h)
+            if has_deletion and prev is not None:
+                for h in heads:
+                    g.add_edge(prev, h)
+            if any(not c for c in nxt_site.alt_nodes.values()):
+                # deletion at the adjacent site: bypass from our sources to
+                # the ref node after it
+                nt = pos_in_ref[nxt_site.ref_nodes[-1]]
+                nn = g.ref_path[nt + 1] if nt + 1 < len(g.ref_path) else None
+                if nn is not None:
+                    for t in tails:
+                        g.add_edge(t, nn)
+                    if has_deletion and prev is not None:
+                        g.add_edge(prev, nn)

@@ -36,7 +36,14 @@ def _open(path: str):
     return open(path)
 
 
+_GT_CACHE: dict = {}
+
+
 def _parse_gt(gt_field: str) -> Tuple[Tuple[Optional[int], Optional[int]], bool]:
+    # genotype strings repeat massively across samples/variants: memoize
+    cached = _GT_CACHE.get(gt_field)
+    if cached is not None:
+        return cached
     gt = gt_field.split(":", 1)[0]
     phased = "|" in gt
     parts = gt.replace("|", "/").split("/")
@@ -45,7 +52,10 @@ def _parse_gt(gt_field: str) -> Tuple[Tuple[Optional[int], Optional[int]], bool]
         idx.append(None if p in (".", "") else int(p))
     while len(idx) < 2:
         idx.append(idx[0] if idx else None)
-    return (idx[0], idx[1]), phased
+    result = ((idx[0], idx[1]), phased)
+    if len(_GT_CACHE) < 65536:
+        _GT_CACHE[gt_field] = result
+    return result
 
 
 def read_vcf(path: str, chrom: Optional[str] = None) -> Tuple[List[str], List[VcfVariant]]:
