@@ -165,6 +165,59 @@ def _cmd_map(argv):
     return 0
 
 
+def _cmd_replicate(argv):
+    """Fused per-replicate pipeline: GAF -> events, no augmented-GFA round trip."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu replicate")
+    ap.add_argument("GAF")
+    ap.add_argument("GFA", help="annotated (un-augmented) spliced pangenome")
+    ap.add_argument("GTF")
+    ap.add_argument("--mapq", dest="mapq", type=int, default=20)
+    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("--rca", "-w", dest="rca", type=int, default=-1)
+    ap.add_argument("--novel", "-n", dest="novel", action="store_true")
+    ap.add_argument("--no-annotated", "-a", dest="no_annotated", action="store_true")
+    ap.add_argument("--events", "-e", dest="events", nargs="+", default=["ES", "SS", "IR"])
+    ap.add_argument("--isw", "-i", dest="isw", type=int, default=5)
+    ap.add_argument("--minintronsize", "-l", dest="minintronsize", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    from pantas_tpu.events import CallOptions, call_events
+    from pantas_tpu.events.caller import SplicingGraph
+
+    counts = None
+    try:
+        from pantas_tpu.graph.compiler import compile_gfa
+        from pantas_tpu.native import NativeCoverage
+
+        eng = NativeCoverage(compile_gfa(args.GFA))
+        eng.process_file(args.GAF, args.mapq, threads=args.threads)
+        counts = eng.to_counts()
+    except Exception as e:
+        print(f"[replicate] native engine unavailable ({e}); host fallback", file=sys.stderr)
+        from pantas_tpu.coverage.host import accumulate_gaf, load_node_lengths
+
+        node_len = load_node_lengths(args.GFA)
+        with open(args.GAF) as fh:
+            counts = accumulate_gaf(fh, node_len, args.mapq)
+    print(f"Rejected alignments: {counts.rejected}", file=sys.stderr)
+
+    graph = SplicingGraph.from_coverage(args.GFA, counts)
+    events = []
+    for e in args.events:
+        events.extend(e.split(","))
+    opts = CallOptions(
+        rca=args.rca,
+        novel=args.novel,
+        no_annotated=args.no_annotated,
+        events=events,
+        isw=args.isw,
+        minintronsize=args.minintronsize,
+    )
+    for row in call_events(args.GFA, args.GTF, opts, graph=graph):
+        print(row)
+    return 0
+
+
 def _cmd_sim(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu sim")
     ap.add_argument("FA")
@@ -224,6 +277,7 @@ _COMMANDS = {
     "quant": _cmd_quant,
     "remap": _cmd_remap,
     "map": _cmd_map,
+    "replicate": _cmd_replicate,
     "sim": _cmd_sim,
     "eval": _cmd_eval,
 }
@@ -236,6 +290,7 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     quant       quantify events comparing conditions
     remap       remap events to reference haplotype
     map         align reads to the spliced pangenome (GAF output)
+    replicate   fused GAF -> events (augment+call, no GFA round trip)
     sim         simulate AS-event reads with ground truth
     eval        score called events against simulation truth (P/R/F1)
     version     print the version

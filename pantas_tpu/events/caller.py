@@ -104,6 +104,36 @@ class SplicingGraph:
         self.nj_by_tail: Dict[str, Set[Jct]] = {}
 
     @classmethod
+    def from_coverage(cls, gfa_path: str, counts) -> "SplicingGraph":
+        """Fused-pipeline constructor: annotated (un-augmented) GFA + an
+        in-memory :class:`~pantas_tpu.coverage.host.CoverageCounts`.
+
+        Produces the exact graph that parsing the emitted augmented GFA
+        would: NC/RC default to 0, novel links append after the file's
+        links in first-seen order — so calling is identical with no
+        augmented-GFA round trip.
+        """
+        g = cls.from_gfa(gfa_path)
+        for nid, info in g.seg.items():
+            info.nc = counts.nc.get(nid, 0)
+        consumed = set()
+        for pair, li in g.link.items():
+            li.rc = counts.edge.get(pair, 0)
+            consumed.add(pair)
+        for pair, w in counts.edge.items():
+            if pair in consumed:
+                continue
+            a, b = pair
+            li = LinkInfo(rc=w, novel=True)
+            g.link[pair] = li
+            g.seg[a].outgoing.append(b)
+            g.seg[b].incoming.append(a)
+            g.novel_junctions.add(pair)
+            g.nj_by_head.setdefault(a, set()).add(pair)
+            g.nj_by_tail.setdefault(b, set()).add(pair)
+        return g
+
+    @classmethod
     def from_gfa(cls, gfa_path: str) -> "SplicingGraph":
         g = cls()
         for line in open(gfa_path):
@@ -243,9 +273,11 @@ def call_events(
     gtf_path: str,
     opts: CallOptions,
     log=sys.stderr,
+    graph: Optional[SplicingGraph] = None,
 ) -> Iterator[str]:
     """Yield event CSV lines (header first) for one augmented replicate."""
-    graph = SplicingGraph.from_gfa(gfa_path)
+    if graph is None:
+        graph = SplicingGraph.from_gfa(gfa_path)
     t2g, genestrand, genechr = parse_transcript_maps(gtf_path)
     yield CSV_HEADER
     if not opts.no_annotated:

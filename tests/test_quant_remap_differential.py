@@ -24,18 +24,19 @@ def _run(cmd):
     return proc.stdout
 
 
-QUANT_MODES = [[], ["--both"]]
+QUANT_MODES = [([], ["-a"]), (["--both"], []), (["-w", "3"], ["-a", "-w", "3"])]
 
 
-@pytest.mark.parametrize("mode", QUANT_MODES, ids=["all", "both"])
-def test_quant_matches_reference_bytes(tmp_path, reference_scripts, mode):
+@pytest.mark.parametrize(
+    "ref_mode,our_mode", QUANT_MODES, ids=["all", "both", "w3"]
+)
+def test_quant_matches_reference_bytes(tmp_path, reference_scripts, ref_mode, our_mode):
     c1, c2, _ = write_quant_fixtures(tmp_path)
     theirs = _run(
-        [sys.executable, str(reference_scripts / "quantify.py"), *mode, "--c1", *c1, "--c2", *c2]
+        [sys.executable, str(reference_scripts / "quantify.py"), *ref_mode, "--c1", *c1, "--c2", *c2]
     )
-    ours_mode = [] if mode else ["-a"]  # our CLI: -a == report one-sided
     ours = _run(
-        [sys.executable, "-m", "pantas_tpu", "quant", *ours_mode, "--c1", *c1, "--c2", *c2]
+        [sys.executable, "-m", "pantas_tpu", "quant", *our_mode, "--c1", *c1, "--c2", *c2]
     )
     assert ours == theirs
 
