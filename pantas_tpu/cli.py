@@ -298,6 +298,8 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
 
 
 def main(argv=None) -> int:
+    import time
+
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print(_USAGE, file=sys.stderr)
@@ -310,7 +312,10 @@ def main(argv=None) -> int:
     if fn is None:
         print(_USAGE, file=sys.stderr)
         return 1
-    return fn(rest)
+    t0 = time.time()
+    rc = fn(rest)
+    print(f"[pantas-tpu] {mode} completed in {time.time() - t0:.2f}s", file=sys.stderr)
+    return rc
 
 
 if __name__ == "__main__":

@@ -25,6 +25,27 @@ from jax import shard_map
 DATA_AXIS = "data"
 
 
+def initialize_distributed() -> bool:
+    """Join a multi-host jax runtime when launch env vars are present.
+
+    Multi-host runs (one process per host, chips per host discovered
+    automatically) coordinate through `jax.distributed`; GAF shards are
+    assigned per process and coverage partials merge with the same psum the
+    single-host path uses — DCN carries only the input shard distribution
+    and the final gather (SURVEY §5 'communication backend' row).
+
+    Returns True when distributed mode was initialized.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def coverage_mesh(devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     import numpy as np
