@@ -41,12 +41,19 @@ def combine_gfas(paths: Sequence[str], out: TextIO, log=sys.stderr) -> None:
                 print("\t".join(["P", name, shifted] + rest), file=out)
             elif kind == "W":
                 _, wname, i1, i2, i3, i4, walk = line.rstrip("\n").split("\t")
-                orient = walk[0]
-                parts = walk[1:].split(orient)
-                shifted = orient + orient.join(str(int(x) + shift) for x in parts)
+                # mixed-orientation walks: shift every step id, keep orients
+                parts = []
+                i = 0
+                while i < len(walk):
+                    orient = walk[i]
+                    j = i + 1
+                    while j < len(walk) and walk[j] not in "><":
+                        j += 1
+                    parts.append(orient + str(int(walk[i + 1 : j]) + shift))
+                    i = j
                 if i2 == "":
                     i2 = "-"
-                print("\t".join(["W", wname, i1, i2, i3, i4, shifted]), file=out)
+                print("\t".join(["W", wname, i1, i2, i3, i4, "".join(parts)]), file=out)
             else:
                 print(line.rstrip("\n"), file=out)
         print(f"[combine] merged {path} at shift {shift}; next shift {max_id}", file=log)

@@ -94,14 +94,20 @@ def construct(
     exon_boundaries: Optional[Iterable[Tuple[int, int]]] = None,
     max_node_len: int = DEFAULT_MAX_NODE_LEN,
     log=sys.stderr,
+    prefiltered: bool = False,
 ) -> VariationGraph:
     """Build the variation graph for one chromosome.
 
     ``exon_boundaries``: iterable of (start, end) 1-based inclusive exon
     spans; node cuts are added after ``start-1`` and after ``end``.
+    ``prefiltered``: the variants already passed :func:`accept_variants`
+    (skip the redundant re-sort/re-scan).
     """
     g = VariationGraph(chrom=chrom)
-    accepted, g.skipped_variants = accept_variants(variants, ref_seq, log)
+    if prefiltered:
+        accepted = list(variants)
+    else:
+        accepted, g.skipped_variants = accept_variants(variants, ref_seq, log)
 
     # cut marks: a cut after reference position p (1-based) splits p | p+1
     cuts: Set[int] = {0, len(ref_seq)}

@@ -52,7 +52,8 @@ def build_chromosome(
 
     exon_bounds = [span for t in models for span in t.exons]
     graph = construct(
-        chrom, seq, accepted, exon_bounds, max_node_len=max_node_len, log=log
+        chrom, seq, accepted, exon_bounds, max_node_len=max_node_len, log=log,
+        prefiltered=True,
     )
     ptx = project(graph, models, accepted, samples, log=log)
     ann = annotate(ptx, log=log)

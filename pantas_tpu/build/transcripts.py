@@ -179,9 +179,13 @@ def project(
             path: List[int] = []
             breaks: List[int] = []
             prev_tail: Optional[int] = None
+            # skip/done persist across exons: a site straddling an intron
+            # (REF span crossing an exon boundary) must substitute exactly
+            # once, not once per touching exon
+            skip: Set[int] = set()
+            done_sites: Set[int] = set()
             for (i0, i1) in ranges:
                 chain: List[int] = []
-                skip: Set[int] = set()
                 for idx in range(i0, i1):
                     nid = ref_nodes[idx]
                     if nid in skip:
@@ -189,6 +193,9 @@ def project(
                     si = node2site.get(nid)
                     a = int(sig_row[si]) if (sig_row is not None and si is not None) else 0
                     if a != 0 and a in graph.sites[si].alt_nodes:
+                        if si in done_sites:
+                            continue
+                        done_sites.add(si)
                         chain.extend(graph.sites[si].alt_nodes[a])
                         skip |= set(graph.sites[si].ref_nodes)
                     else:

@@ -3,7 +3,7 @@
 Subcommands and flags mirror the reference bash driver (``pantas:10-61``):
 
     build    FA GTF VCF   [-o outdir] [-a aggressive-prune] [-r reduce] [-t threads]
-    augment  GAF GFA      [-q mapq-threshold]
+    augment  GAF GFA      [-q mapq-threshold] [--engine ...] [-t threads]
     call     GFA GTF      [-w rca] [-i isw] [-e EV1,EV2] [-l minintron] [-a] [-n]
     quant    C1R1..C1Rk C2R1..C2Rk   [-a report-all]
     remap    CSV GTF      [-i min-intron-size]
@@ -45,7 +45,8 @@ def _cmd_augment(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu augment")
     ap.add_argument("GAF")
     ap.add_argument("GFA")
-    ap.add_argument("thr", nargs="?", type=int, default=20, help="mapq threshold")
+    ap.add_argument("thr", nargs="?", type=int, default=None, help="mapq threshold")
+    ap.add_argument("-q", dest="mapq", type=int, default=20, help="mapq threshold")
     ap.add_argument(
         "--engine",
         choices=["auto", "host", "native", "device"],
@@ -55,6 +56,7 @@ def _cmd_augment(argv):
     )
     ap.add_argument("-t", dest="threads", type=int, default=1, help="native parse threads")
     args = ap.parse_args(argv)
+    args.thr = args.mapq if args.thr is None else args.thr
 
     engine = args.engine
     if engine in ("auto", "native"):
@@ -124,8 +126,14 @@ def _cmd_quant(argv):
     args = ap.parse_args(argv)
     from pantas_tpu.quant import quantify
 
+    if (args.c1 is None) != (args.c2 is None):
+        print("ERROR: provide both --c1 and --c2 (or positional replicates).", file=sys.stderr)
+        return 1
     if args.c1 and args.c2:
         c1, c2 = args.c1, args.c2
+    elif not args.csvs:
+        print("ERROR: no replicate CSVs given.", file=sys.stderr)
+        return 1
     else:
         if len(args.csvs) % 2 != 0:
             print("ERROR: Wrong number of replicates.", file=sys.stderr)

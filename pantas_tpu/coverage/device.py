@@ -54,11 +54,11 @@ class SlotEncoder:
             slots.append(idx[name])
         for name, off in ev.il:
             ni = idx[name]
-            slots.append(int(t.il_base[ni]) + off)
+            slots.append(int(t.il_base[ni]) + off + 1)
             self.il_seen.setdefault(ni, {}).setdefault(off)
         for name, off in ev.ol:
             ni = idx[name]
-            slots.append(int(t.ol_base[ni]) + off)
+            slots.append(int(t.ol_base[ni]) + off + 1)
             self.ol_seen.setdefault(ni, {}).setdefault(off)
         for a, b in ev.edges:
             ai, bi = idx[a], idx[b]
@@ -101,10 +101,19 @@ class DeviceCoverage:
             self.n_shards = 1
             self._step = jax.jit(scatter_add_counts)
 
-    def add_slots(self, slots: np.ndarray) -> None:
-        from pantas_tpu.parallel.mesh import pad_to_multiple
+    def add_slots(self, slots: np.ndarray, pad_to: Optional[int] = None) -> None:
+        """Accumulate a slot batch; pad to a fixed length to avoid retraces.
 
-        if self.mesh is not None:
+        Every distinct batch length triggers a fresh jit compile, so callers
+        stream fixed-size batches (``pad_to``) with -1 padding.
+        """
+        if pad_to is not None and len(slots) != pad_to:
+            padded = -np.ones(pad_to, dtype=np.int32)
+            padded[: len(slots)] = slots
+            slots = padded
+        if self.mesh is not None and len(slots) % self.n_shards != 0:
+            from pantas_tpu.parallel.mesh import pad_to_multiple
+
             slots = pad_to_multiple(slots, self.n_shards)
         self.counts = self._step(self.counts, self._jnp.asarray(slots))
 
@@ -130,12 +139,12 @@ def counts_from_device(
     for ni, seen in enc.il_seen.items():
         base = int(t.il_base[ni])
         counts.il[t.node_names[ni]] = {
-            off: int(flat[base + off]) for off in seen
+            off: int(flat[base + off + 1]) for off in seen
         }
     for ni, seen in enc.ol_seen.items():
         base = int(t.ol_base[ni])
         counts.ol[t.node_names[ni]] = {
-            off: int(flat[base + off]) for off in seen
+            off: int(flat[base + off + 1]) for off in seen
         }
 
     rc = flat[t.rc_base :]
@@ -181,9 +190,12 @@ def augment_gfa_device(
                 enc.accepted += 1
                 enc.add(ev)
             if len(enc.slots) >= flush_every:
-                dev.add_slots(enc.take_slots())
+                batch = enc.take_slots()
+                # keep a stable compiled shape: flush in fixed-size chunks
+                for i in range(0, len(batch), flush_every):
+                    dev.add_slots(batch[i : i + flush_every], pad_to=flush_every)
     if enc.slots:
-        dev.add_slots(enc.take_slots())
+        dev.add_slots(enc.take_slots(), pad_to=flush_every)
 
     counts = counts_from_device(tensors, enc, dev.result())
     print(f"Rejected alignments: {counts.rejected}", file=log)

@@ -10,8 +10,9 @@ batched caller:
   for O(log E) vectorized membership probes (the same packing the reference's
   native annotator uses, ``annotate.cpp:14,131``),
 * ``il_base[N] / ol_base[N]`` — CSR bases of per-node offset histograms
-  (node i owns ``node_len[i] + 1`` slots per side, since link offsets range
-  over ``0..len``),
+  (node i owns ``node_len[i] + 2`` slots per side: link offsets range over
+  ``-1..len`` — a full-node deletion compacts to an OL offset of -1 in the
+  reference semantics — so slot = base + offset + 1),
 * one flat ``counts`` vector layout: ``[NC | IL | OL | RC]`` so the entire
   augment stage is a single scatter-add onto one array.
 """
@@ -91,8 +92,9 @@ def compile_gfa(gfa_path: str) -> GraphTensors:
         key = np.zeros(0, dtype=np.uint64)
         src = dst = np.zeros(0, dtype=np.int64)
 
-    # counts layout: [NC (N) | IL hist | OL hist | RC (E)]
-    hist_sizes = (node_len.astype(np.int64) + 1)
+    # counts layout: [NC (N) | IL hist | OL hist | RC (E)]; per-side slot
+    # count is len+2 (offsets -1..len, slot = base + off + 1)
+    hist_sizes = (node_len.astype(np.int64) + 2)
     il_base = n + np.concatenate(([0], np.cumsum(hist_sizes)[:-1]))
     hist_total = int(hist_sizes.sum())
     ol_base = il_base + hist_total

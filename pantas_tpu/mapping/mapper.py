@@ -19,6 +19,7 @@ augmenter): oriented path, path-interval coordinates, mapq, ``cs:Z:`` and
 
 from __future__ import annotations
 
+import re
 import sys
 from bisect import bisect_right
 
@@ -29,6 +30,8 @@ from typing import Dict, Iterator, List, Optional, Tuple
 from pantas_tpu.io.fasta import revcomp
 
 MISMATCH_PENALTY = 4  # max-window scoring: match +1, mismatch -penalty
+
+_HAP_COPY_RE = re.compile(r"_H\d+$")
 
 
 @dataclass
@@ -57,9 +60,9 @@ def load_alignment_paths(
                 seqs[t[1]] = t[2].rstrip("\n")
             elif kind == "P":
                 _, name, steps_s, *_ = line.rstrip("\n").split("\t")
-                if ref_transcripts_only and not (
-                    name.split("_")[-1].startswith("R") or "_" not in name
-                ):
+                # exclude only haplotype transcript copies ("..._H<k>");
+                # chromosome/scaffold names may themselves contain '_'
+                if ref_transcripts_only and _HAP_COPY_RE.search(name):
                     continue
                 nodes = [s[:-1] for s in steps_s.split(",")]
                 offsets = []

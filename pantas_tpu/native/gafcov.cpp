@@ -195,7 +195,21 @@ void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
         t[3] == 'f' && t[4] == ':') {
       const char *q = t + 5;
       if (q < lend && isdigit((unsigned char)*q)) {
-        dv = strtod(q, nullptr);
+        // mirror the reference regex dv:f:(\d+(\.\d+)?) exactly: stop at
+        // anything but digits and one dot (no exponent notation)
+        const char *d = q;
+        while (d < lend && isdigit((unsigned char)*d)) ++d;
+        if (d < lend && *d == '.' && d + 1 < lend &&
+            isdigit((unsigned char)d[1])) {
+          ++d;
+          while (d < lend && isdigit((unsigned char)*d)) ++d;
+        }
+        char tmp[64];
+        size_t n = (size_t)(d - q) < sizeof(tmp) - 1 ? (size_t)(d - q)
+                                                     : sizeof(tmp) - 1;
+        memcpy(tmp, q, n);
+        tmp[n] = 0;
+        dv = strtod(tmp, nullptr);
         has_dv = true;
       }
     }
@@ -340,21 +354,23 @@ void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
     bool fst = i == 0, lst = i == K - 1;
     for (int32_t j = 0; j < cnt; ++j) {
       Cig c = E.keep_ops[o0 + j];
+      // slot = base + offset + 1: offsets span -1..len (a full-node
+      // deletion compacts to OL offset -1 in the reference semantics)
       if (c.op == '-') {
         if (!rev) {
-          if (!fst && j == 0) E.bump_hist(E.il_base[ni] + c.len);
-          if (!lst && j == cnt - 1) E.bump_hist(E.ol_base[ni] + len - c.len - 1);
+          if (!fst && j == 0) E.bump_hist(E.il_base[ni] + c.len + 1);
+          if (!lst && j == cnt - 1) E.bump_hist(E.ol_base[ni] + len - c.len);
         } else {
-          if (!fst && j == 0) E.bump_hist(E.ol_base[ni] + len - 1 - c.len);
-          if (!lst && j == cnt - 1) E.bump_hist(E.il_base[ni] + c.len);
+          if (!fst && j == 0) E.bump_hist(E.ol_base[ni] + len - c.len);
+          if (!lst && j == cnt - 1) E.bump_hist(E.il_base[ni] + c.len + 1);
         }
       } else if (c.op != '*') {
         if (!rev) {
-          if (!fst) E.bump_hist(E.il_base[ni] + 0);
-          if (!lst) E.bump_hist(E.ol_base[ni] + len);
+          if (!fst) E.bump_hist(E.il_base[ni] + 1);
+          if (!lst) E.bump_hist(E.ol_base[ni] + len + 1);
         } else {
-          if (!lst) E.bump_hist(E.il_base[ni] + 0);
-          if (!fst) E.bump_hist(E.ol_base[ni] + len);
+          if (!lst) E.bump_hist(E.il_base[ni] + 1);
+          if (!fst) E.bump_hist(E.ol_base[ni] + len + 1);
         }
       }
     }
@@ -608,6 +624,10 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
     return -2;
   }
 
+  // duplicate L lines: the reference pops the weight, so only the first
+  // occurrence of an edge prints its count
+  std::vector<uint8_t> edge_emitted(E->n_edges, 0);
+
   // per-node IL/OL offsets in first-seen order
   std::vector<std::vector<int64_t>> il_offs(E->n_nodes), ol_offs(E->n_nodes);
   int64_t hist_total = E->n_nodes ? (E->ol_base[0] - E->il_base[0]) : 0;
@@ -621,7 +641,7 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
       if (base[mid] <= slot) lo = mid;
       else hi = mid - 1;
     }
-    (is_il ? il_offs : ol_offs)[lo].push_back(slot - base[lo]);
+    (is_il ? il_offs : ol_offs)[lo].push_back(slot - base[lo] - 1);
   }
 
   // slurp the GFA (graph text fits memory by construction of this pipeline)
@@ -663,7 +683,7 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
           bool first = true;
           for (int64_t off : il_offs[ni]) {
             n = snprintf(tag, sizeof tag, "%s%lld.%d", first ? "" : ",",
-                         (long long)off, E->counts[E->il_base[ni] + off]);
+                         (long long)off, E->counts[E->il_base[ni] + off + 1]);
             fwrite(tag, 1, n, out);
             first = false;
           }
@@ -673,7 +693,7 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
           bool first = true;
           for (int64_t off : ol_offs[ni]) {
             n = snprintf(tag, sizeof tag, "%s%lld.%d", first ? "" : ",",
-                         (long long)off, E->counts[E->ol_base[ni] + off]);
+                         (long long)off, E->counts[E->ol_base[ni] + off + 1]);
             fwrite(tag, 1, n, out);
             first = false;
           }
@@ -696,7 +716,10 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
           int32_t w = 0;
           if (ai >= 0 && bi >= 0) {
             int64_t slot = E->edge_slot(((uint64_t)ai << 32) | (uint64_t)bi);
-            if (slot >= 0) w = E->counts[E->rc_base + slot];
+            if (slot >= 0 && !edge_emitted[slot]) {
+              w = E->counts[E->rc_base + slot];
+              edge_emitted[slot] = 1;
+            }
           }
           fwrite(ls, 1, le - ls, out);
           int n = snprintf(tag, sizeof tag, "\tRC:i:%d\n", w);

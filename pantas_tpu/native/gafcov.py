@@ -185,13 +185,14 @@ class NativeCoverage:
             hist_total = int(t.ol_base[0] - t.il_base[0]) if t.n_nodes else 0
             for slot in seen:
                 slot = int(slot)
+                # slot = base + offset + 1 (offsets span -1..len)
                 if slot < t.il_base[0] + hist_total:  # IL section
                     ni = int(np.searchsorted(t.il_base, slot, side="right")) - 1
-                    off = slot - int(t.il_base[ni])
+                    off = slot - int(t.il_base[ni]) - 1
                     counts.il.setdefault(t.node_names[ni], {})[off] = int(flat[slot])
                 else:  # OL section
                     ni = int(np.searchsorted(t.ol_base, slot, side="right")) - 1
-                    off = slot - int(t.ol_base[ni])
+                    off = slot - int(t.ol_base[ni]) - 1
                     counts.ol.setdefault(t.node_names[ni], {})[off] = int(flat[slot])
 
         rc = flat[t.rc_base :]

@@ -56,6 +56,9 @@ MICRO_GAF_LINES = [
     "r13\t9\t0\t9\t+\t>1>2>3\t14\t2\t10\t8\t9\t60\tcs:Z::6*ac:2\tdv:f:0.0",
     # reverse with deletion at entry of middle node
     "r14\t8\t0\t8\t+\t<6<4<2\t13\t1\t10\t8\t10\t60\tcs:Z::5-ag:3\tdv:f:0.0",
+    # node 2 compacts to a full-node deletion via leading '*' absorption:
+    # OL offset becomes -1 (reference quirk; regression for slot layouts)
+    "r15\t8\t0\t8\t+\t>1>2>3\t14\t2\t10\t7\t9\t60\tcs:Z::6*ca-t:1\tdv:f:0.0",
 ]
 
 MICRO_GAF = "\n".join(MICRO_GAF_LINES) + "\n"

@@ -40,7 +40,7 @@ def test_augment_rejindex_counts(tmp_path):
     counts = augment_gfa(gaf, gfa, out=buf, log=log)
     assert counts.rejected == 1  # r6 (low mapq)
     assert counts.skipped == 2  # r7 (unplaced), r8 (divergent)
-    assert counts.accepted == 11
+    assert counts.accepted == 12
     # novel edges appear as ID:Z:N links
     out = buf.getvalue()
     assert "L\t3\t+\t5\t+\t*\tRC:i:1\tID:Z:N" in out

@@ -32,8 +32,8 @@ def test_graph_tensor_layout(tmp_path):
     t = compile_gfa(gfa)
     assert t.n_nodes == 6
     assert t.n_edges == 7
-    # histogram slots: one per offset 0..len per node per side
-    assert t.total_slots == 6 + 2 * (sum(t.node_len) + 6) + 7
+    # histogram slots: offsets -1..len per node per side (len+2 each)
+    assert t.total_slots == 6 + 2 * (int(sum(t.node_len)) + 2 * 6) + 7
     # edge lookup round-trip + novelty
     a, b = t.node_index["2"], t.node_index["3"]
     assert t.edge_lookup(a, b) >= 0

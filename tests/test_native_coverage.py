@@ -25,4 +25,4 @@ def test_native_matches_host_bytes(tmp_path, have_native):
     nat_buf, log2 = io.StringIO(), io.StringIO()
     counts = native.augment_gfa_native(gaf, gfa, out=nat_buf, log=log2)
     assert nat_buf.getvalue() == host_buf.getvalue()
-    assert counts.rejected == 1 and counts.skipped == 2 and counts.accepted == 11
+    assert counts.rejected == 1 and counts.skipped == 2 and counts.accepted == 12
