@@ -461,50 +461,53 @@ def _merge_ops(pieces: List[Piece]) -> List[Tuple[str, object]]:
     return ops
 
 
-def alignment_to_gaf(
-    index: PathIndex, name: str, read: str, aln: SplicedAlignment
+def format_gaf(
+    index: PathIndex,
+    name: str,
+    read_len: int,
+    piece_coords: List[Tuple[int, int, int]],  # (path_idx, pstart, pend)
+    reverse: bool,
+    cs: str,  # already oriented
+    qstart: int,
+    qend: int,
+    mismatches: int,
 ) -> str:
     walk_nodes: List[str] = []
     walk_len = 0
     head_start = 0
     tail_uncovered = 0
-    for i, p in enumerate(aln.pieces):
-        nodes, wlen, start, tail = _piece_nodes(index, p)
+    span = 0
+    for i, (pi, pstart_p, pend_p) in enumerate(piece_coords):
+        shim = Piece(pi, 0, 0, pstart_p, pend_p, 0, [])
+        nodes, wlen, start, tail = _piece_nodes(index, shim)
         if i == 0:
             head_start = start
-        if i == len(aln.pieces) - 1:
+        if i == len(piece_coords) - 1:
             tail_uncovered = tail
         walk_nodes.extend(nodes)
         walk_len += wlen
+        span += pend_p - pstart_p
 
-    ops = _merge_ops(aln.pieces)
-    if not aln.reverse:
+    if not reverse:
         path_str = ">" + ">".join(walk_nodes)
         pstart = head_start
         pend_excl = walk_len - tail_uncovered
-        cs = _cs_string(ops)
     else:
         path_str = "<" + "<".join(reversed(walk_nodes))
         pstart = tail_uncovered
         pend_excl = walk_len - head_start
-        rev_ops = []
-        for op, v in reversed(ops):
-            rev_ops.append((op, v) if op == ":" else (op, revcomp(v[0]) + revcomp(v[1])))
-        cs = _cs_string(rev_ops)
 
-    L = len(read)
-    span = aln.span
-    matches = span - aln.mismatches
+    matches = span - mismatches
     dv = round(1.0 - (matches / span), 6) if span else 1.0
-    mapq = 60 if len(aln.pieces) == 1 else 50
+    mapq = 60 if len(piece_coords) == 1 else 50
     return "\t".join(
         map(
             str,
             [
                 name,
-                L,
-                aln.qstart,
-                aln.qend,
+                read_len,
+                qstart,
+                qend,
                 "+",
                 path_str,
                 walk_len,
@@ -519,6 +522,123 @@ def alignment_to_gaf(
             ],
         )
     )
+
+
+def alignment_to_gaf(
+    index: PathIndex, name: str, read: str, aln: SplicedAlignment
+) -> str:
+    ops = _merge_ops(aln.pieces)
+    if not aln.reverse:
+        cs = _cs_string(ops)
+    else:
+        rev_ops = []
+        for op, v in reversed(ops):
+            rev_ops.append((op, v) if op == ":" else (op, revcomp(v[0]) + revcomp(v[1])))
+        cs = _cs_string(rev_ops)
+    return format_gaf(
+        index,
+        name,
+        len(read),
+        [(p.path_idx, p.pstart, p.pend) for p in aln.pieces],
+        aln.reverse,
+        cs,
+        aln.qstart,
+        aln.qend,
+        aln.mismatches,
+    )
+
+
+class NativePathAligner:
+    """ctypes bridge to the native per-read alignment core (aligner.cpp)."""
+
+    def __init__(self, index: PathIndex):
+        import ctypes
+
+        from pantas_tpu.native.gafcov import _load, _ptr
+
+        lib = _load()
+        self.lib = lib
+        self.index = index
+        paths = index.paths
+        # concatenated sequences + CSR offsets
+        self._seq = "".join(rec.seq for rec in paths).encode()
+        seq_off = np.zeros(len(paths) + 1, dtype=np.int64)
+        node_idx = np.zeros(len(paths) + 1, dtype=np.int64)
+        for i, rec in enumerate(paths):
+            seq_off[i + 1] = seq_off[i] + len(rec.seq)
+            node_idx[i + 1] = node_idx[i] + len(rec.nodes)
+        node_off = np.zeros(int(node_idx[-1]), dtype=np.int64)
+        node_ids = np.zeros(int(node_idx[-1]), dtype=np.int64)
+        for i, rec in enumerate(paths):
+            base = int(node_idx[i])
+            node_off[base : base + len(rec.offsets)] = rec.offsets
+            node_ids[base : base + len(rec.nodes)] = [int(n) for n in rec.nodes]
+        self._arrays = (seq_off, node_off, node_idx, node_ids)
+        self.handle = lib.aln_create(
+            self._seq,
+            _ptr(seq_off, ctypes.c_int64),
+            _ptr(node_off, ctypes.c_int64),
+            _ptr(node_idx, ctypes.c_int64),
+            _ptr(node_ids, ctypes.c_int64),
+            len(paths),
+            _ptr(index._kmers, ctypes.c_uint64),
+            _ptr(index._pids, ctypes.c_int32),
+            _ptr(index._poss, ctypes.c_int32),
+            len(index._kmers),
+            index.k,
+            index.max_hits,
+        )
+        self._meta = np.zeros(4, dtype=np.int64)
+        self._pieces = np.zeros(10, dtype=np.int64)
+        self._cs = ctypes.create_string_buffer(1 << 16)
+        self._ptrs = (
+            _ptr(self._meta, ctypes.c_int64),
+            _ptr(self._pieces, ctypes.c_int64),
+        )
+
+    def align_to_gaf(self, name: str, read: str) -> Optional[Tuple[str, int]]:
+        n = self.lib.aln_align(
+            self.handle,
+            read.encode(),
+            len(read),
+            self._ptrs[0],
+            self._ptrs[1],
+            self._cs,
+            len(self._cs),
+        )
+        if n <= 0:
+            return None
+        reverse = bool(self._meta[0])
+        pieces = [
+            (
+                int(self._pieces[i * 5 + 0]),
+                int(self._pieces[i * 5 + 1]),
+                int(self._pieces[i * 5 + 2]),
+            )
+            for i in range(n)
+        ]
+        return (
+            format_gaf(
+                self.index,
+                name,
+                len(read),
+                pieces,
+                reverse,
+                self._cs.value.decode(),
+                int(self._meta[1]),
+                int(self._meta[2]),
+                int(self._meta[3]),
+            ),
+            n,
+        )
+
+    def __del__(self):
+        try:
+            if getattr(self, "handle", None):
+                self.lib.aln_destroy(self.handle)
+                self.handle = None
+        except Exception:
+            pass
 
 
 def iter_fastq(path: str) -> Iterator[Tuple[str, str]]:
@@ -540,6 +660,7 @@ def map_reads(
     k: int = 21,
     out=sys.stdout,
     log=sys.stderr,
+    engine: str = "auto",
 ) -> Tuple[int, int]:
     """Map reads; returns (mapped, total)."""
     print("[map] loading graph & indexing paths..", file=log)
@@ -548,6 +669,16 @@ def map_reads(
         f"[map] indexed {len(index.paths)} paths, {len(index.kmers)} kmers",
         file=log,
     )
+    native: Optional[NativePathAligner] = None
+    if engine in ("auto", "native"):
+        try:
+            native = NativePathAligner(index)
+            print("[map] native alignment core", file=log)
+        except Exception as e:
+            if engine == "native":
+                raise
+            print(f"[map] native core unavailable ({e}); python path", file=log)
+
     mapped = total = spliced = 0
     streams = [iter_fastq(fq1)]
     if fq2:
@@ -555,6 +686,22 @@ def map_reads(
     for stream in streams:
         for name, seq in stream:
             total += 1
+            if native is not None:
+                res = native.align_to_gaf(name, seq)
+                if res is None:
+                    print(
+                        "\t".join(
+                            map(str, [name, len(seq), 0, 0, "+", "*", 0, 0, 0, 0, 0, 0])
+                        ),
+                        file=out,
+                    )
+                    continue
+                line, n_pieces = res
+                mapped += 1
+                if n_pieces > 1:
+                    spliced += 1
+                print(line, file=out)
+                continue
             aln = align_read(index, seq)
             if aln is None:
                 print(

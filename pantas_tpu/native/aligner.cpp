@@ -1,0 +1,406 @@
+// Native path-guided read aligner: the mapper's per-read hot path.
+//
+// Faithful port of pantas_tpu/mapping/mapper.py (seed -> Kadane
+// max-identity-window extension -> two-piece spliced join with node-boundary
+// snapping). Python keeps index construction + GAF formatting; this core
+// returns piece coordinates (forward-path), strand, and the oriented cs
+// string, and must produce byte-identical GAF through the same formatter.
+
+#include <algorithm>
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int MISMATCH_PENALTY = 4;
+constexpr double MAX_MISMATCH_FRAC = 0.08;
+constexpr int MIN_SPAN = 20;
+
+struct Aligner {
+  const char *seqs = nullptr;        // concatenated path sequences
+  const int64_t *seq_off = nullptr;  // n_paths+1
+  const int64_t *node_off = nullptr; // concatenated per-path node offsets
+  const int64_t *node_idx = nullptr; // n_paths+1 (CSR into node_off)
+  const int64_t *node_ids = nullptr; // node ids (int64), aligned with node_off
+  int n_paths = 0;
+  const uint64_t *kmers = nullptr;
+  const int32_t *pids = nullptr;
+  const int32_t *poss = nullptr;
+  int64_t n_kmers = 0;
+  int k = 21;
+  int max_hits = 64;
+
+  const char *pseq(int pi) const { return seqs + seq_off[pi]; }
+  int64_t plen(int pi) const { return seq_off[pi + 1] - seq_off[pi]; }
+  int64_t n_nodes(int pi) const { return node_idx[pi + 1] - node_idx[pi]; }
+  const int64_t *offs(int pi) const { return node_off + node_idx[pi]; }
+  const int64_t *ids(int pi) const { return node_ids + node_idx[pi]; }
+};
+
+struct Piece {
+  int path = -1;
+  int64_t qstart = 0, qend = 0;  // oriented read coords
+  int64_t pstart = 0, pend = 0;  // forward path coords
+  int64_t mism = 0;
+  int64_t span() const { return pend - pstart; }
+};
+
+struct Vote {
+  int pid;
+  int64_t diag;
+  int count;
+};
+
+inline char comp(char c) {
+  switch (c) {
+    case 'A': return 'T'; case 'a': return 't';
+    case 'C': return 'G'; case 'c': return 'g';
+    case 'G': return 'C'; case 'g': return 'c';
+    case 'T': return 'A'; case 't': return 'a';
+    default: return c;
+  }
+}
+
+inline int code(char c) {
+  // parity with the Python packer: only N skips a seed; other characters
+  // (degenerate IUPAC codes) pack as 0 like _BASE_CODE's default
+  switch (c) {
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    case 'N': case 'n': return -1;
+    default: return 0;
+  }
+}
+
+// votes in first-seen order (parity with Python dict semantics)
+void seed(const Aligner &A, const char *read, int64_t L, int64_t qlo,
+          int64_t qhi, std::vector<Vote> &votes) {
+  votes.clear();
+  int64_t span = qhi - qlo;
+  int k = A.k;
+  if (span < k) return;
+  int64_t offs[5] = {qlo, qlo + span / 4, qlo + span / 2, qlo + (3 * span) / 4,
+                     qhi - k};
+  // python: sorted(set(...)) — dedupe & sort
+  std::sort(offs, offs + 5);
+  int64_t prev = -1;
+  for (int oi = 0; oi < 5; ++oi) {
+    int64_t q = offs[oi];
+    if (q == prev) continue;
+    prev = q;
+    if (q < qlo || q + k > qhi) continue;
+    uint64_t packed = 0;
+    bool ok = true;
+    for (int j = 0; j < k; ++j) {
+      int c = code(read[q + j]);
+      if (c < 0) { ok = false; break; }
+      packed = (packed << 2) | (uint64_t)c;
+    }
+    if (!ok) continue;
+    // binary range search
+    int64_t lo = 0, hi = A.n_kmers;
+    while (lo < hi) { int64_t m = (lo + hi) / 2; if (A.kmers[m] < packed) lo = m + 1; else hi = m; }
+    int64_t lo2 = lo; hi = A.n_kmers;
+    while (lo2 < hi) { int64_t m = (lo2 + hi) / 2; if (A.kmers[m] <= packed) lo2 = m + 1; else hi = m; }
+    if (lo2 - lo > A.max_hits) continue;
+    for (int64_t i = lo; i < lo2; ++i) {
+      int pid = A.pids[i];
+      int64_t diag = (int64_t)A.poss[i] - q;
+      bool found = false;
+      for (auto &v : votes)
+        if (v.pid == pid && v.diag == diag) { v.count++; found = true; break; }
+      if (!found) votes.push_back({pid, diag, 1});
+    }
+  }
+}
+
+// Kadane max-identity window; fills piece (no ops — recomputed at emit)
+bool extend(const Aligner &A, const char *read, int pid, int64_t diag,
+            int64_t qlo, int64_t qhi, Piece &out) {
+  const char *ps = A.pseq(pid);
+  int64_t lo = std::max(qlo, -diag);
+  int64_t hi = std::min(qhi, A.plen(pid) - diag);
+  if (hi - lo <= 0) return false;
+  int64_t best_s = lo, best_e = lo, cur_s = lo;
+  int64_t best_score = 0, cur = 0;
+  for (int64_t i = lo; i < hi; ++i) {
+    cur += (read[i] == ps[diag + i]) ? 1 : -MISMATCH_PENALTY;
+    if (cur > best_score) { best_score = cur; best_s = cur_s; best_e = i + 1; }
+    if (cur < 0) { cur = 0; cur_s = i + 1; }
+  }
+  if (best_e <= best_s) return false;
+  int64_t mism = 0;
+  for (int64_t i = best_s; i < best_e; ++i)
+    if (read[i] != ps[diag + i]) ++mism;
+  out.path = pid;
+  out.qstart = best_s;
+  out.qend = best_e;
+  out.pstart = diag + best_s;
+  out.pend = diag + best_e;
+  out.mism = mism;
+  return true;
+}
+
+bool best_piece(const Aligner &A, const char *read, int64_t L, int64_t qlo,
+                int64_t qhi, bool use_excl, int excl_pid, int64_t excl_diag,
+                Piece &best, std::vector<Vote> &scratch) {
+  seed(A, read, L, qlo, qhi, scratch);
+  if (use_excl) {
+    for (size_t i = 0; i < scratch.size(); ++i)
+      if (scratch[i].pid == excl_pid && scratch[i].diag == excl_diag) {
+        scratch.erase(scratch.begin() + i);
+        break;
+      }
+  }
+  if (scratch.empty()) return false;
+  std::stable_sort(scratch.begin(), scratch.end(),
+                   [](const Vote &a, const Vote &b) { return a.count > b.count; });
+  bool have = false;
+  size_t top = std::min(scratch.size(), (size_t)4);
+  for (size_t t = 0; t < top; ++t) {
+    Piece p;
+    if (!extend(A, read, scratch[t].pid, scratch[t].diag, qlo, qhi, p)) continue;
+    if (p.span() < MIN_SPAN) continue;
+    if ((double)p.mism > MAX_MISMATCH_FRAC * (double)p.span()) continue;
+    if (!have || (p.span() - MISMATCH_PENALTY * p.mism) >
+                     (best.span() - MISMATCH_PENALTY * best.mism)) {
+      best = p;
+      have = true;
+    }
+  }
+  return have;
+}
+
+// is path position `pos` the end (exclusive boundary) of some node?
+bool boundary_end(const Aligner &A, int pid, int64_t pos) {
+  if (pos == A.plen(pid)) return true;
+  const int64_t *o = A.offs(pid);
+  int64_t n = A.n_nodes(pid);
+  int64_t lo = 0, hi = n;
+  while (lo < hi) { int64_t m = (lo + hi) / 2; if (o[m] <= pos) lo = m + 1; else hi = m; }
+  return lo > 0 && o[lo - 1] == pos;
+}
+
+// node index containing path position pos (bisect_right(offsets,pos)-1)
+int64_t node_at(const Aligner &A, int pid, int64_t pos) {
+  const int64_t *o = A.offs(pid);
+  int64_t n = A.n_nodes(pid);
+  int64_t lo = 0, hi = n;
+  while (lo < hi) { int64_t m = (lo + hi) / 2; if (o[m] <= pos) lo = m + 1; else hi = m; }
+  return lo - 1;
+}
+
+bool snap_join(const Aligner &A, const char *read, const Piece &first,
+               const Piece &second, Piece &out1, Piece &out2) {
+  int64_t diag1 = first.pstart - first.qstart;
+  int64_t diag2 = second.pstart - second.qstart;
+  int64_t lo = std::max(second.qstart, first.qstart + 1);
+  int64_t hi = std::min(first.qend, second.qend - 1);
+  for (int64_t c = lo; c <= hi; ++c) {
+    int64_t pe1 = diag1 + c;
+    int64_t ps2 = diag2 + c;
+    if (pe1 <= first.pstart || !boundary_end(A, first.path, pe1)) continue;
+    int64_t i2 = node_at(A, second.path, ps2);
+    if (i2 < 0 || A.offs(second.path)[i2] != ps2 || ps2 >= A.plen(second.path))
+      continue;
+    int64_t i1 = node_at(A, first.path, pe1 - 1);
+    if (A.ids(first.path)[i1] >= A.ids(second.path)[i2]) continue;
+    // trim pieces to the split
+    const char *s1 = A.pseq(first.path);
+    const char *s2 = A.pseq(second.path);
+    out1 = first;
+    out1.qend = c;
+    out1.pend = diag1 + c;
+    out1.mism = 0;
+    for (int64_t i = out1.qstart; i < c; ++i)
+      if (read[i] != s1[diag1 + i]) ++out1.mism;
+    out2 = second;
+    out2.qstart = c;
+    out2.pstart = diag2 + c;
+    out2.mism = 0;
+    for (int64_t i = c; i < out2.qend; ++i)
+      if (read[i] != s2[diag2 + i]) ++out2.mism;
+    return true;
+  }
+  return false;
+}
+
+// append cs ops for a piece, merging an adjacent ':' run at the boundary
+void cs_piece(const Aligner &A, const char *read, const Piece &p,
+              std::string &cs, int64_t &pending_run) {
+  const char *ps = A.pseq(p.path);
+  int64_t diag = p.pstart - p.qstart;
+  int64_t run = pending_run;
+  pending_run = 0;
+  char buf[32];
+  for (int64_t i = p.qstart; i < p.qend; ++i) {
+    if (read[i] == ps[diag + i]) {
+      ++run;
+    } else {
+      if (run) { snprintf(buf, sizeof buf, ":%lld", (long long)run); cs += buf; run = 0; }
+      cs += '*';
+      cs += (char)tolower(ps[diag + i]);
+      cs += (char)tolower(read[i]);
+    }
+  }
+  pending_run = run;  // may merge with next piece's leading run
+}
+
+}  // namespace
+
+extern "C" {
+
+void *aln_create(const char *seqs, const int64_t *seq_off,
+                 const int64_t *node_off, const int64_t *node_idx,
+                 const int64_t *node_ids, int n_paths, const uint64_t *kmers,
+                 const int32_t *pids, const int32_t *poss, int64_t n_kmers,
+                 int k, int max_hits) {
+  Aligner *A = new Aligner();
+  A->seqs = seqs;
+  A->seq_off = seq_off;
+  A->node_off = node_off;
+  A->node_idx = node_idx;
+  A->node_ids = node_ids;
+  A->n_paths = n_paths;
+  A->kmers = kmers;
+  A->pids = pids;
+  A->poss = poss;
+  A->n_kmers = n_kmers;
+  A->k = k;
+  A->max_hits = max_hits;
+  return A;
+}
+
+void aln_destroy(void *h) { delete (Aligner *)h; }
+
+// Returns number of pieces (0 = unmapped).
+// out_meta: [reverse, qstart, qend, mism_total]
+// out_pieces: per piece [path, pstart, pend, qstart, qend]
+// cs_buf: oriented cs string (NUL-terminated)
+int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
+              int64_t *out_pieces, char *cs_buf, int64_t cs_cap) {
+  Aligner &A = *(Aligner *)h;
+  std::string fwd(read_in, L), rev(L, 'N');
+  for (int64_t i = 0; i < L; ++i) rev[i] = comp(read_in[L - 1 - i]);
+
+  Piece best[2];
+  int best_n = 0;
+  bool best_rev = false;
+  bool have = false;
+  int64_t best_score = 0;
+  std::vector<Vote> scratch;
+
+  for (int strand = 0; strand < 2; ++strand) {
+    const char *seq = strand ? rev.c_str() : fwd.c_str();
+    Piece p1;
+    if (!best_piece(A, seq, L, 0, L, false, 0, 0, p1, scratch)) continue;
+    Piece cand[2] = {p1, Piece()};
+    int cand_n = 1;
+
+    int64_t excl_diag = p1.pstart - p1.qstart;
+    if (L - p1.qend >= A.k) {
+      Piece p2;
+      if (best_piece(A, seq, L, std::max((int64_t)0, p1.qend - 8), L, true,
+                     p1.path, excl_diag, p2, scratch) &&
+          p2.qend > p1.qend) {
+        Piece o1, o2;
+        if (snap_join(A, seq, p1, p2, o1, o2)) {
+          cand[0] = o1;
+          cand[1] = o2;
+          cand_n = 2;
+        }
+      }
+    }
+    if (cand_n == 1 && cand[0].qstart >= A.k) {
+      Piece p0;
+      if (best_piece(A, seq, L, 0, std::min(L, p1.qstart + 8), true, p1.path,
+                     excl_diag, p0, scratch) &&
+          p0.qstart < p1.qstart) {
+        Piece o1, o2;
+        if (snap_join(A, seq, p0, p1, o1, o2)) {
+          cand[0] = o1;
+          cand[1] = o2;
+          cand_n = 2;
+        }
+      }
+    }
+
+    int64_t span = 0, mism = 0;
+    for (int i = 0; i < cand_n; ++i) { span += cand[i].span(); mism += cand[i].mism; }
+    if (span < L / 2) continue;
+    int64_t score = span - MISMATCH_PENALTY * mism;
+    if (!have || score > best_score) {
+      have = true;
+      best_score = score;
+      best_n = cand_n;
+      best_rev = strand == 1;
+      best[0] = cand[0];
+      if (cand_n > 1) best[1] = cand[1];
+    }
+  }
+
+  if (!have) return 0;
+
+  const char *seq = best_rev ? rev.c_str() : fwd.c_str();
+  std::string cs;
+  int64_t pending = 0;
+  int64_t mism_total = 0;
+  for (int i = 0; i < best_n; ++i) {
+    cs_piece(A, seq, best[i], cs, pending);
+    mism_total += best[i].mism;
+  }
+  if (pending) {
+    char buf[32];
+    snprintf(buf, sizeof buf, ":%lld", (long long)pending);
+    cs += buf;
+  }
+  if (best_rev) {
+    // reverse op order + complement bases
+    std::string rcs;
+    rcs.reserve(cs.size());
+    int64_t i = cs.size();
+    // walk ops from the end: tokens are ':'<digits> or '*'<b><b>
+    std::vector<std::pair<int64_t, int64_t>> toks;  // (start, len)
+    for (int64_t s = 0; s < (int64_t)cs.size();) {
+      int64_t e = s + 1;
+      if (cs[s] == '*') e = s + 3;
+      else { while (e < (int64_t)cs.size() && isdigit((unsigned char)cs[e])) ++e; }
+      toks.push_back({s, e - s});
+      s = e;
+    }
+    (void)i;
+    for (auto it = toks.rbegin(); it != toks.rend(); ++it) {
+      if (cs[it->first] == '*') {
+        rcs += '*';
+        rcs += comp(cs[it->first + 1]);
+        rcs += comp(cs[it->first + 2]);
+      } else {
+        rcs.append(cs, it->first, it->second);
+      }
+    }
+    cs.swap(rcs);
+  }
+  if ((int64_t)cs.size() + 1 > cs_cap) return -1;
+  memcpy(cs_buf, cs.data(), cs.size());
+  cs_buf[cs.size()] = 0;
+
+  out_meta[0] = best_rev ? 1 : 0;
+  out_meta[1] = best[0].qstart;
+  out_meta[2] = best[best_n - 1].qend;
+  out_meta[3] = mism_total;
+  for (int i = 0; i < best_n; ++i) {
+    out_pieces[i * 5 + 0] = best[i].path;
+    out_pieces[i * 5 + 1] = best[i].pstart;
+    out_pieces[i * 5 + 2] = best[i].pend;
+    out_pieces[i * 5 + 3] = best[i].qstart;
+    out_pieces[i * 5 + 4] = best[i].qend;
+  }
+  return best_n;
+}
+
+}  // extern "C"

@@ -20,13 +20,15 @@ from pantas_tpu.coverage.host import CoverageCounts, emit_augmented_gfa
 from pantas_tpu.graph.compiler import GraphTensors, compile_gfa
 
 _SRC = Path(__file__).parent / "gafcov.cpp"
+_SRC2 = Path(__file__).parent / "aligner.cpp"
 _SO = Path(__file__).parent / "libgafcov.so"
 
 _lib = None
 
 
 def build_library(force: bool = False) -> Path:
-    if force or not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    newest_src = max(_SRC.stat().st_mtime, _SRC2.stat().st_mtime)
+    if force or not _SO.exists() or _SO.stat().st_mtime < newest_src:
         cmd = [
             "g++",
             "-O3",
@@ -36,6 +38,7 @@ def build_library(force: bool = False) -> Path:
             "-shared",
             "-fPIC",
             str(_SRC),
+            str(_SRC2),
             "-o",
             str(_SO),
         ]
@@ -91,6 +94,18 @@ def _load():
     lib.gafcov_emit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.gafcov_destroy.restype = None
     lib.gafcov_destroy.argtypes = [ctypes.c_void_p]
+    lib.aln_create.restype = ctypes.c_void_p
+    lib.aln_create.argtypes = [
+        ctypes.c_char_p, P(i64), P(i64), P(i64), P(i64), ctypes.c_int,
+        P(u64), P(i32), P(i32), i64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.aln_destroy.restype = None
+    lib.aln_destroy.argtypes = [ctypes.c_void_p]
+    lib.aln_align.restype = ctypes.c_int
+    lib.aln_align.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64, P(i64), P(i64),
+        ctypes.c_char_p, i64,
+    ]
     lib.kidx_pack.restype = None
     lib.kidx_pack.argtypes = [ctypes.c_char_p, i64, ctypes.c_int, P(u64)]
     lib.kidx_sort.restype = None
