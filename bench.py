@@ -101,8 +101,43 @@ def bench_native(gfa, big, n_reads):
     return n_reads / dt
 
 
+def bench_call(gfa):
+    """Secondary metric (stderr): annotated event calling, ours vs reference."""
+    import io
+
+    aug = CACHE / "augmented.gfa"
+    if not aug.exists():
+        from pantas_tpu.native import augment_gfa_native
+
+        with open(aug, "w") as out:
+            augment_gfa_native(str(CACHE / "sample.gaf"), str(gfa), out=out, log=io.StringIO())
+    gtf = str(EXAMPLE / "4.gtf")
+
+    import contextlib
+
+    from pantas_tpu.events import CallOptions, call_events
+
+    t0 = time.time()
+    n_events = sum(1 for _ in call_events(str(aug), gtf, CallOptions(rca=0))) - 1
+    dt = time.time() - t0
+    log(f"call (ours): {n_events} events in {dt:.2f}s = {n_events / dt:.0f} events/s")
+
+    t0 = time.time()
+    with open(os.devnull, "w") as devnull:
+        subprocess.run(
+            [sys.executable, "/root/reference/scripts/call.py", "--rca", "0", str(aug), gtf],
+            stdout=devnull, stderr=subprocess.DEVNULL, check=True, timeout=600,
+        )
+    dt_ref = time.time() - t0
+    log(f"call (reference): {dt_ref:.2f}s -> ours {dt_ref / dt:.1f}x faster")
+
+
 def main():
     gfa, big, n_reads = ensure_workload()
+    try:
+        bench_call(gfa)
+    except Exception as e:
+        log(f"call bench skipped: {e}")
     ours = bench_native(gfa, big, n_reads)
     try:
         baseline = bench_reference(gfa, big, n_reads)
