@@ -166,10 +166,11 @@ def _cmd_map(argv):
     ap.add_argument("FQ1")
     ap.add_argument("FQ2", nargs="?", default=None)
     ap.add_argument("-k", dest="k", type=int, default=21, help="seed k-mer size")
+    ap.add_argument("-t", dest="threads", type=int, default=1, help="alignment threads")
     args = ap.parse_args(argv)
     from pantas_tpu.mapping.mapper import map_reads
 
-    map_reads(args.GFA, args.FQ1, args.FQ2, k=args.k, out=sys.stdout)
+    map_reads(args.GFA, args.FQ1, args.FQ2, k=args.k, out=sys.stdout, threads=args.threads)
     return 0
 
 

@@ -632,6 +632,25 @@ class NativePathAligner:
             n,
         )
 
+    def map_file(self, fq1: str, fq2, out_fd: int, threads: int = 1):
+        """Full-batch FASTQ -> GAF natively; returns (mapped, spliced, total)."""
+        import ctypes
+
+        from pantas_tpu.native.gafcov import _ptr
+
+        stats = np.zeros(3, dtype=np.int64)
+        rc = self.lib.aln_map_file(
+            self.handle,
+            str(fq1).encode(),
+            str(fq2).encode() if fq2 else None,
+            out_fd,
+            threads,
+            _ptr(stats, ctypes.c_int64),
+        )
+        if rc != 0:
+            raise IOError(f"aln_map_file failed ({rc})")
+        return int(stats[0]), int(stats[1]), int(stats[2])
+
     def __del__(self):
         try:
             if getattr(self, "handle", None):
@@ -661,6 +680,7 @@ def map_reads(
     out=sys.stdout,
     log=sys.stderr,
     engine: str = "auto",
+    threads: int = 1,
 ) -> Tuple[int, int]:
     """Map reads; returns (mapped, total)."""
     print("[map] loading graph & indexing paths..", file=log)
@@ -678,6 +698,21 @@ def map_reads(
             if engine == "native":
                 raise
             print(f"[map] native core unavailable ({e}); python path", file=log)
+
+    # fully-native batch path when writing to a real file descriptor
+    if native is not None:
+        try:
+            out.flush()
+            fd = out.fileno()
+        except Exception:
+            fd = None
+        if fd is not None:
+            mapped, spliced, total = native.map_file(fq1, fq2, fd, threads)
+            print(
+                f"[map] mapped {mapped}/{total} reads ({spliced} spliced joins)",
+                file=log,
+            )
+            return mapped, total
 
     mapped = total = spliced = 0
     streams = [iter_fastq(fq1)]

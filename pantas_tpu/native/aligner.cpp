@@ -6,12 +6,15 @@
 // returns piece coordinates (forward-path), strand, and the oriented cs
 // string, and must produce byte-identical GAF through the same formatter.
 
+#include <unistd.h>
 #include <algorithm>
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -251,49 +254,18 @@ void cs_piece(const Aligner &A, const char *read, const Piece &p,
   pending_run = run;  // may merge with next piece's leading run
 }
 
-}  // namespace
-
-extern "C" {
-
-void *aln_create(const char *seqs, const int64_t *seq_off,
-                 const int64_t *node_off, const int64_t *node_idx,
-                 const int64_t *node_ids, int n_paths, const uint64_t *kmers,
-                 const int32_t *pids, const int32_t *poss, int64_t n_kmers,
-                 int k, int max_hits) {
-  Aligner *A = new Aligner();
-  A->seqs = seqs;
-  A->seq_off = seq_off;
-  A->node_off = node_off;
-  A->node_idx = node_idx;
-  A->node_ids = node_ids;
-  A->n_paths = n_paths;
-  A->kmers = kmers;
-  A->pids = pids;
-  A->poss = poss;
-  A->n_kmers = n_kmers;
-  A->k = k;
-  A->max_hits = max_hits;
-  return A;
-}
-
-void aln_destroy(void *h) { delete (Aligner *)h; }
-
-// Returns number of pieces (0 = unmapped).
-// out_meta: [reverse, qstart, qend, mism_total]
-// out_pieces: per piece [path, pstart, pend, qstart, qend]
-// cs_buf: oriented cs string (NUL-terminated)
-int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
-              int64_t *out_pieces, char *cs_buf, int64_t cs_cap) {
-  Aligner &A = *(Aligner *)h;
-  std::string fwd(read_in, L), rev(L, 'N');
+// strand loop + two-piece rescue; returns piece count (0 = unmapped)
+int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
+               bool &best_rev, std::string &fwd, std::string &rev,
+               std::vector<Vote> &scratch) {
+  fwd.assign(read_in, L);
+  rev.resize(L);
   for (int64_t i = 0; i < L; ++i) rev[i] = comp(read_in[L - 1 - i]);
 
-  Piece best[2];
   int best_n = 0;
-  bool best_rev = false;
+  best_rev = false;
   bool have = false;
   int64_t best_score = 0;
-  std::vector<Vote> scratch;
 
   for (int strand = 0; strand < 2; ++strand) {
     const char *seq = strand ? rev.c_str() : fwd.c_str();
@@ -343,13 +315,15 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
       if (cand_n > 1) best[1] = cand[1];
     }
   }
+  return have ? best_n : 0;
+}
 
-  if (!have) return 0;
-
-  const char *seq = best_rev ? rev.c_str() : fwd.c_str();
-  std::string cs;
+// build the (possibly reverse-oriented) cs string for the chosen pieces
+void build_cs(Aligner &A, const char *seq, const Piece *best, int best_n,
+              bool best_rev, std::string &cs, int64_t &mism_total) {
+  cs.clear();
   int64_t pending = 0;
-  int64_t mism_total = 0;
+  mism_total = 0;
   for (int i = 0; i < best_n; ++i) {
     cs_piece(A, seq, best[i], cs, pending);
     mism_total += best[i].mism;
@@ -360,12 +334,9 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
     cs += buf;
   }
   if (best_rev) {
-    // reverse op order + complement bases
     std::string rcs;
     rcs.reserve(cs.size());
-    int64_t i = cs.size();
-    // walk ops from the end: tokens are ':'<digits> or '*'<b><b>
-    std::vector<std::pair<int64_t, int64_t>> toks;  // (start, len)
+    std::vector<std::pair<int64_t, int64_t>> toks;
     for (int64_t s = 0; s < (int64_t)cs.size();) {
       int64_t e = s + 1;
       if (cs[s] == '*') e = s + 3;
@@ -373,7 +344,6 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
       toks.push_back({s, e - s});
       s = e;
     }
-    (void)i;
     for (auto it = toks.rbegin(); it != toks.rend(); ++it) {
       if (cs[it->first] == '*') {
         rcs += '*';
@@ -385,6 +355,139 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
     }
     cs.swap(rcs);
   }
+}
+
+// Python float-repr for the dv value produced by round(x, 6)
+void format_dv(double x, char *buf, size_t cap) {
+  double f = nearbyint(x * 1e6);
+  if (f == 0) {
+    snprintf(buf, cap, "0.0");
+  } else {
+    snprintf(buf, cap, "%g", f / 1e6);
+  }
+}
+
+// full GAF record for one aligned read (parity with mapper.format_gaf)
+void gaf_line(Aligner &A, const char *name, int64_t name_len, int64_t L,
+              const Piece *best, int best_n, bool best_rev,
+              const std::string &cs, int64_t mism_total, std::string &out) {
+  int64_t walk_len = 0, head_start = 0, tail_uncovered = 0, span = 0;
+  // collect walk node ids (forward order)
+  std::vector<int64_t> walk;
+  for (int i = 0; i < best_n; ++i) {
+    const Piece &p = best[i];
+    int64_t i0 = node_at(A, p.path, p.pstart);
+    int64_t i1 = node_at(A, p.path, p.pend - 1);
+    const int64_t *o = A.offs(p.path);
+    int64_t n_nodes = A.n_nodes(p.path);
+    int64_t end_off = (i1 + 1 < n_nodes) ? o[i1 + 1] : A.plen(p.path);
+    if (i == 0) head_start = p.pstart - o[i0];
+    if (i == best_n - 1) tail_uncovered = end_off - p.pend;
+    walk_len += end_off - o[i0];
+    span += p.span();
+    const int64_t *ids = A.ids(p.path);
+    for (int64_t j = i0; j <= i1; ++j) walk.push_back(ids[j]);
+  }
+  int64_t pstart = best_rev ? tail_uncovered : head_start;
+  int64_t pend_excl = best_rev ? walk_len - head_start : walk_len - tail_uncovered;
+  int64_t matches = span - mism_total;
+  int mapq = best_n == 1 ? 60 : 50;
+  char dv[32];
+  format_dv(span ? 1.0 - (double)matches / (double)span : 1.0, dv, sizeof dv);
+
+  out.append(name, name_len);
+  char buf[160];
+  snprintf(buf, sizeof buf, "\t%lld\t%lld\t%lld\t+\t", (long long)L,
+           (long long)best[0].qstart, (long long)best[best_n - 1].qend);
+  out += buf;
+  if (!best_rev) {
+    for (int64_t id : walk) {
+      snprintf(buf, sizeof buf, ">%lld", (long long)id);
+      out += buf;
+    }
+  } else {
+    for (auto it = walk.rbegin(); it != walk.rend(); ++it) {
+      snprintf(buf, sizeof buf, "<%lld", (long long)*it);
+      out += buf;
+    }
+  }
+  snprintf(buf, sizeof buf, "\t%lld\t%lld\t%lld\t%lld\t%lld\t%d\tAS:i:%lld\tdv:f:%s\tcs:Z:",
+           (long long)walk_len, (long long)pstart, (long long)(pend_excl - 1),
+           (long long)matches, (long long)span, mapq, (long long)matches, dv);
+  out += buf;
+  out += cs;
+  out += '\n';
+}
+
+struct FqRecord {
+  std::string name;
+  std::string seq;
+};
+
+bool read_fastq_record(FILE *fp, FqRecord &rec) {
+  static thread_local std::vector<char> line(1 << 16);
+  auto getl = [&](std::string *dst) -> bool {
+    if (!fgets(line.data(), line.size(), fp)) return false;
+    size_t n = strlen(line.data());
+    while (n && (line[n - 1] == '\n' || line[n - 1] == '\r')) --n;
+    if (dst) dst->assign(line.data(), n);
+    return true;
+  };
+  std::string header;
+  if (!getl(&header)) return false;
+  if (!getl(&rec.seq)) return false;
+  if (!getl(nullptr)) return false;
+  if (!getl(nullptr)) return false;
+  size_t sp = header.find_first_of(" \t");
+  rec.name = header.substr(1, sp == std::string::npos ? std::string::npos : sp - 1);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *aln_create(const char *seqs, const int64_t *seq_off,
+                 const int64_t *node_off, const int64_t *node_idx,
+                 const int64_t *node_ids, int n_paths, const uint64_t *kmers,
+                 const int32_t *pids, const int32_t *poss, int64_t n_kmers,
+                 int k, int max_hits) {
+  Aligner *A = new Aligner();
+  A->seqs = seqs;
+  A->seq_off = seq_off;
+  A->node_off = node_off;
+  A->node_idx = node_idx;
+  A->node_ids = node_ids;
+  A->n_paths = n_paths;
+  A->kmers = kmers;
+  A->pids = pids;
+  A->poss = poss;
+  A->n_kmers = n_kmers;
+  A->k = k;
+  A->max_hits = max_hits;
+  return A;
+}
+
+void aln_destroy(void *h) { delete (Aligner *)h; }
+
+// Returns number of pieces (0 = unmapped).
+// out_meta: [reverse, qstart, qend, mism_total]
+// out_pieces: per piece [path, pstart, pend, qstart, qend]
+// cs_buf: oriented cs string (NUL-terminated)
+int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
+              int64_t *out_pieces, char *cs_buf, int64_t cs_cap) {
+  Aligner &A = *(Aligner *)h;
+  Piece best[2];
+  bool best_rev;
+  std::string fwd, rev;
+  std::vector<Vote> scratch;
+  int best_n = align_core(A, read_in, L, best, best_rev, fwd, rev, scratch);
+  if (best_n == 0) return 0;
+
+  const char *seq = best_rev ? rev.c_str() : fwd.c_str();
+  std::string cs;
+  int64_t mism_total;
+  build_cs(A, seq, best, best_n, best_rev, cs, mism_total);
   if ((int64_t)cs.size() + 1 > cs_cap) return -1;
   memcpy(cs_buf, cs.data(), cs.size());
   cs_buf[cs.size()] = 0;
@@ -401,6 +504,94 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
     out_pieces[i * 5 + 4] = best[i].qend;
   }
   return best_n;
+}
+
+// Batch pipeline: FASTQ file(s) -> GAF on out_fd, optional threads.
+// stats: [mapped, spliced, total]. Output order matches serial processing.
+int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
+                     int n_threads, int64_t *stats) {
+  Aligner &A = *(Aligner *)h;
+  FILE *out = fdopen(dup(out_fd), "wb");
+  if (!out) return -2;
+  if (n_threads < 1) n_threads = 1;
+
+  int64_t mapped = 0, spliced = 0, total = 0;
+  const size_t CHUNK = 65536;
+  std::vector<FqRecord> reads;
+  std::vector<std::string> lines;
+
+  const char *files[2] = {fq1, fq2};
+  for (int fi = 0; fi < 2; ++fi) {
+    if (!files[fi] || !files[fi][0]) continue;
+    FILE *fp = fopen(files[fi], "rb");
+    if (!fp) {
+      fclose(out);
+      return -1;
+    }
+    bool eof = false;
+    while (!eof) {
+      reads.clear();
+      reads.reserve(CHUNK);
+      FqRecord rec;
+      while (reads.size() < CHUNK) {
+        if (!read_fastq_record(fp, rec)) {
+          eof = true;
+          break;
+        }
+        reads.push_back(std::move(rec));
+      }
+      if (reads.empty()) break;
+      lines.assign(reads.size(), std::string());
+      std::vector<int64_t> t_mapped(n_threads, 0), t_spliced(n_threads, 0);
+
+      auto work = [&](int t) {
+        Piece best[2];
+        bool rev_flag;
+        std::string fwd, rev, cs;
+        std::vector<Vote> scratch;
+        char buf[96];
+        for (size_t i = t; i < reads.size(); i += n_threads) {
+          const FqRecord &r = reads[i];
+          int n = align_core(A, r.seq.data(), (int64_t)r.seq.size(), best,
+                             rev_flag, fwd, rev, scratch);
+          if (n == 0) {
+            snprintf(buf, sizeof buf, "\t%lld\t0\t0\t+\t*\t0\t0\t0\t0\t0\t0\n",
+                     (long long)r.seq.size());
+            lines[i] = r.name + buf;
+            continue;
+          }
+          t_mapped[t]++;
+          if (n > 1) t_spliced[t]++;
+          const char *seq = rev_flag ? rev.c_str() : fwd.c_str();
+          int64_t mism_total;
+          build_cs(A, seq, best, n, rev_flag, cs, mism_total);
+          lines[i].clear();
+          gaf_line(A, r.name.c_str(), (int64_t)r.name.size(),
+                   (int64_t)r.seq.size(), best, n, rev_flag, cs, mism_total,
+                   lines[i]);
+        }
+      };
+      if (n_threads == 1) {
+        work(0);
+      } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < n_threads; ++t) ths.emplace_back(work, t);
+        for (auto &th : ths) th.join();
+      }
+      for (int t = 0; t < n_threads; ++t) {
+        mapped += t_mapped[t];
+        spliced += t_spliced[t];
+      }
+      total += (int64_t)reads.size();
+      for (auto &l : lines) fwrite(l.data(), 1, l.size(), out);
+    }
+    fclose(fp);
+  }
+  fclose(out);
+  stats[0] = mapped;
+  stats[1] = spliced;
+  stats[2] = total;
+  return 0;
 }
 
 }  // extern "C"

@@ -106,6 +106,11 @@ def _load():
         ctypes.c_void_p, ctypes.c_char_p, i64, P(i64), P(i64),
         ctypes.c_char_p, i64,
     ]
+    lib.aln_map_file.restype = i64
+    lib.aln_map_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int, P(i64),
+    ]
     lib.kidx_pack.restype = None
     lib.kidx_pack.argtypes = [ctypes.c_char_p, i64, ctypes.c_int, P(u64)]
     lib.kidx_sort.restype = None
