@@ -227,6 +227,16 @@ def _cmd_replicate(argv):
     return 0
 
 
+def _cmd_exp(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu exp")
+    ap.add_argument("CONFIG", help="experiment config (JSON)")
+    args = ap.parse_args(argv)
+    from pantas_tpu.experiment import run_experiment
+
+    run_experiment(args.CONFIG)
+    return 0
+
+
 def _cmd_sim(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu sim")
     ap.add_argument("FA")
@@ -287,6 +297,7 @@ _COMMANDS = {
     "remap": _cmd_remap,
     "map": _cmd_map,
     "replicate": _cmd_replicate,
+    "exp": _cmd_exp,
     "sim": _cmd_sim,
     "eval": _cmd_eval,
 }
@@ -300,6 +311,7 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     remap       remap events to reference haplotype
     map         align reads to the spliced pangenome (GAF output)
     replicate   fused GAF -> events (augment+call, no GFA round trip)
+    exp         run a full two-condition experiment from a JSON config
     sim         simulate AS-event reads with ground truth
     eval        score called events against simulation truth (P/R/F1)
     version     print the version

@@ -1,0 +1,170 @@
+"""Experiment driver: end-to-end differential-AS experiments from one config.
+
+Native replacement for the reference's per-experiment Snakemake workflows
+(``exps/1-dm-sim``, ``exps/2-dm-real``, ``exps/3-homo-real``): build the
+annotated pangenome once, then for every replicate of both conditions run
+map -> fused coverage+call, then quant -> remap, and optionally score
+against a truth table.
+
+Config (JSON):
+
+    {
+      "fa": "genome.fa", "gtf": "genes.gtf", "vcf": "vars.vcf.gz",
+      "workdir": "wd",
+      "conditions": {
+        "c1": [["r1_1.fq", "r1_2.fq"], ["r2_1.fq", "r2_2.fq"]],
+        "c2": [["r3_1.fq", "r3_2.fq"], ["r4_1.fq", "r4_2.fq"]]
+      },
+      "build": {"hp": 0},
+      "call": {"w": 3, "novel": true, "minintronsize": 100},
+      "quant": {"all": true},
+      "remap": {"min_intron_size": 100},
+      "eval": {"truth": "truth.csv", "min_dpsi": 0.05, "relax": 3},
+      "threads": 2
+    }
+
+Stage artifacts land under ``workdir`` (same stage-file resumability
+contract as the reference: existing artifacts are reused).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+
+def _log(msg: str, log) -> None:
+    print(f"[exp] {msg}", file=log, flush=True)
+
+
+def run_experiment(config_path: str, log=sys.stderr) -> Dict:
+    cfg = json.load(open(config_path))
+    wd = cfg["workdir"]
+    os.makedirs(wd, exist_ok=True)
+    threads = int(cfg.get("threads", 2))
+    gtf = cfg["gtf"]
+
+    # 1. build (resumable)
+    gfa = os.path.join(wd, "pantranscriptome-annotated.gfa")
+    if not os.path.exists(gfa):
+        t0 = time.time()
+        from pantas_tpu.build.pipeline import build_pangenome
+
+        build_pangenome(
+            cfg["fa"], gtf, cfg["vcf"], wd,
+            hp=int(cfg.get("build", {}).get("hp", 0)), threads=threads, log=log,
+        )
+        _log(f"build: {time.time() - t0:.1f}s", log)
+    else:
+        _log("build: reusing existing pangenome", log)
+
+    # 2. per replicate: map + fused coverage/call
+    from pantas_tpu.events import CallOptions, call_events
+    from pantas_tpu.events.caller import SplicingGraph
+    from pantas_tpu.graph.compiler import compile_gfa
+    from pantas_tpu.mapping.mapper import map_reads
+
+    call_cfg = cfg.get("call", {})
+    opts = CallOptions(
+        rca=int(call_cfg.get("w", 3)),
+        novel=bool(call_cfg.get("novel", False)),
+        no_annotated=bool(call_cfg.get("no_annotated", False)),
+        events=call_cfg.get("events", ["ES", "SS", "IR"]),
+        isw=int(call_cfg.get("isw", 5)),
+        minintronsize=int(call_cfg.get("minintronsize", 100)),
+    )
+
+    tensors = None
+    event_csvs: Dict[str, List[str]] = {}
+    for cond, replicates in cfg["conditions"].items():
+        event_csvs[cond] = []
+        for ri, fqs in enumerate(replicates, start=1):
+            tag = f"{cond}_r{ri}"
+            gaf = os.path.join(wd, f"{tag}.gaf")
+            events_csv = os.path.join(wd, f"{tag}.events.csv")
+            event_csvs[cond].append(events_csv)
+            if os.path.exists(events_csv):
+                _log(f"{tag}: reusing {events_csv}", log)
+                continue
+            t0 = time.time()
+            if not os.path.exists(gaf):
+                with open(gaf, "w") as out:
+                    map_reads(
+                        gfa, fqs[0], fqs[1] if len(fqs) > 1 else None,
+                        out=out, log=log, threads=threads,
+                    )
+            if tensors is None:
+                tensors = compile_gfa(gfa)
+            try:
+                from pantas_tpu.native import NativeCoverage
+
+                eng = NativeCoverage(tensors)
+                eng.process_file(gaf, threads=threads)
+                counts = eng.to_counts()
+            except Exception as e:
+                _log(f"{tag}: native coverage unavailable ({e}); host path", log)
+                from pantas_tpu.coverage.host import accumulate_gaf, load_node_lengths
+
+                with open(gaf) as fh:
+                    counts = accumulate_gaf(fh, load_node_lengths(gfa))
+            graph = SplicingGraph.from_coverage(gfa, counts)
+            with open(events_csv, "w") as out:
+                for row in call_events(gfa, gtf, opts, graph=graph, log=log):
+                    print(row, file=out)
+            _log(f"{tag}: map+call {time.time() - t0:.1f}s", log)
+
+    conds = list(cfg["conditions"])
+    assert len(conds) == 2, "exactly two conditions required"
+
+    # 3. quant + remap
+    from pantas_tpu.quant import quantify
+    from pantas_tpu.remap import remap as remap_stage
+
+    quant_csv = os.path.join(wd, "quant.csv")
+    with open(quant_csv, "w") as out:
+        quantify(
+            event_csvs[conds[0]],
+            event_csvs[conds[1]],
+            both=not bool(cfg.get("quant", {}).get("all", True)),
+            min_w=int(cfg.get("quant", {}).get("w", 0)),
+            out=out,
+        )
+    remap_csv = os.path.join(wd, "quant-remap.csv")
+    with open(remap_csv, "w") as out:
+        remap_stage(
+            quant_csv, gtf,
+            min_intron_size=int(cfg.get("remap", {}).get("min_intron_size", 100)),
+            out=out,
+        )
+    n_events = sum(1 for _ in open(remap_csv)) - 1
+    _log(f"quant-remap: {n_events} events -> {remap_csv}", log)
+
+    result = {"remap_csv": remap_csv, "n_events": n_events}
+
+    # 4. optional truth scoring
+    eval_cfg = cfg.get("eval")
+    if eval_cfg and eval_cfg.get("truth"):
+        from pantas_tpu.eval.compare import (
+            parse_quant_remap,
+            parse_truth,
+            print_scores,
+            score,
+        )
+
+        scores = score(
+            parse_truth(eval_cfg["truth"]),
+            parse_quant_remap(remap_csv),
+            relax=int(eval_cfg.get("relax", 3)),
+            min_dpsi=float(eval_cfg.get("min_dpsi", 0.0)),
+            min_w=float(eval_cfg.get("min_w", 0.0)),
+        )
+        scores_csv = os.path.join(wd, "scores.csv")
+        with open(scores_csv, "w") as out:
+            print_scores(scores, out)
+        _log(f"eval: F1={scores['ALL']['f1']:.3f} -> {scores_csv}", log)
+        result["scores"] = scores
+        result["scores_csv"] = scores_csv
+    return result
