@@ -66,20 +66,40 @@ class CallOptions:
     debug: bool = False
 
 
-@dataclass
 class SegInfo:
-    exons: List[str] = field(default_factory=list)
-    length: int = 0
-    nc: Optional[int] = None  # None == no NC tag (un-augmented graph)
-    incoming: List[str] = field(default_factory=list)  # link file order
-    outgoing: List[str] = field(default_factory=list)
+    """Node record with LAZY exon-label parsing (whole-genome graphs have
+    millions of nodes; most never get their EX tag consulted)."""
+
+    __slots__ = ("ex_raw", "length", "nc", "incoming", "outgoing")
+
+    def __init__(self, length: int = 0):
+        self.ex_raw: Optional[str] = None
+        self.length = length
+        self.nc: Optional[int] = None  # None == no NC tag (un-augmented)
+        self.incoming: List[str] = []  # link file order
+        self.outgoing: List[str] = []
+
+    @property
+    def exons(self) -> List[str]:
+        return self.ex_raw.split(",") if self.ex_raw else []
 
 
-@dataclass
 class LinkInfo:
-    rc: Optional[int] = None
-    jn: List[str] = field(default_factory=list)
-    novel: bool = False
+    """Link record with LAZY junction-label parsing."""
+
+    __slots__ = ("rc", "jn_raw", "novel", "_jn")
+
+    def __init__(self, rc: Optional[int] = None, novel: bool = False):
+        self.rc = rc
+        self.jn_raw: Optional[str] = None
+        self.novel = novel
+        self._jn: Optional[List[str]] = None
+
+    @property
+    def jn(self) -> List[str]:
+        if self._jn is None:
+            self._jn = self.jn_raw.split(",") if self.jn_raw else []
+        return self._jn
 
 
 class SplicingGraph:
@@ -142,27 +162,25 @@ class SplicingGraph:
                 _, nid, seq, *fields = line.split()
                 info = SegInfo(length=len(seq))
                 for f in fields:
-                    name, _, value = f.split(":", 2)
-                    if name == "EX":
-                        info.exons = value.split(",")
-                    elif name == "NC":
-                        info.nc = int(value)
+                    if f.startswith("EX:"):
+                        info.ex_raw = f[5:]
+                    elif f.startswith("NC:"):
+                        info.nc = int(f[5:])
                 g.seg[nid] = info
             elif line.startswith("L"):
                 _, a, _, b, _, _, *fields = line.split()
                 li = LinkInfo()
                 for f in fields:
-                    name, _, value = f.split(":", 2)
-                    if name == "RC":
-                        li.rc = int(value)
-                    elif name == "JN":
-                        li.jn = value.split(",")
-                    elif name == "ID":
+                    if f.startswith("RC:"):
+                        li.rc = int(f[5:])
+                    elif f.startswith("JN:"):
+                        li.jn_raw = f[5:]
+                    elif f.startswith("ID:"):
                         li.novel = True
                 g.link[(a, b)] = li
                 g.seg[a].outgoing.append(b)
                 g.seg[b].incoming.append(a)
-                if li.jn:
+                if li.jn_raw:
                     g.junctions.add((a, b))
                     g.j_by_head.setdefault(a, set()).add((a, b))
                     g.j_by_tail.setdefault(b, set()).add((a, b))
@@ -182,7 +200,7 @@ class SplicingGraph:
         if cached is not None:
             return cached
         info = self.seg.get(nid)
-        s = set(info.exons) if info is not None and info.exons else set()
+        s = set(info.ex_raw.split(",")) if info is not None and info.ex_raw else set()
         self._exon_sets[nid] = s
         return s
 
