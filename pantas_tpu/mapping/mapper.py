@@ -335,6 +335,90 @@ def _make_piece(seq: str, pseq: str, diag: int, qstart: int, qend: int) -> Piece
     )
 
 
+MAX_INDEL = 16
+GAP_OPEN = 6
+GAP_EXTEND = 2
+
+
+def _indel_join(
+    index: PathIndex, seq: str, first: Piece, second: Piece
+) -> Optional[Piece]:
+    """Merge two same-path pieces whose diagonals differ by a small shift.
+
+    A diagonal shift of +g is a deletion of g path bases (cs ``-seq``); -g
+    is an insertion of g read bases (cs ``+seq``). Returns ONE piece whose
+    ops contain the gap, with path-contiguous coordinates — reads carrying
+    indel variants against the reference-projected paths align end-to-end
+    instead of soft-clipping.
+    """
+    if second.path_idx != first.path_idx:
+        return None
+    diag1 = first.pstart - first.qstart
+    diag2 = second.pstart - second.qstart
+    g = diag2 - diag1
+    if g == 0 or abs(g) > MAX_INDEL:
+        return None
+    pseq = index.paths[first.path_idx].seq
+    ins = max(0, -g)
+    # split c ends piece1 at read offset c; piece2 resumes at c+ins
+    lo = max(first.qstart + 1, second.qstart - ins)
+    hi = min(first.qend, second.qend - ins - 1)
+    if hi < lo:
+        return None
+    # choose the read split maximizing matches on both sides
+    best_c = None
+    best_m = -1
+    for c in range(lo, hi + 1):
+        m = 0
+        for i in range(first.qstart, c):
+            if seq[i] == pseq[diag1 + i]:
+                m += 1
+        for i in range(c + ins, second.qend):
+            if seq[i] == pseq[diag2 + i]:
+                m += 1
+        if m > best_m:
+            best_m = m
+            best_c = c
+    if best_c is None:
+        return None
+    c = best_c
+
+    p1 = _make_piece(seq, pseq, diag1, first.qstart, c)
+    p2 = _make_piece(seq, pseq, diag2, c + ins, second.qend)
+    if p2.qend <= p2.qstart or p1.qend <= p1.qstart:
+        return None
+    gap_ops: List[Tuple[str, object]]
+    if g > 0:
+        deleted = pseq[diag1 + c : diag1 + c + g].lower()
+        gap_ops = [("-", deleted)]
+    else:
+        inserted = seq[c : c + ins].lower()
+        gap_ops = [("+", inserted)]
+    merged = Piece(
+        path_idx=first.path_idx,
+        qstart=p1.qstart,
+        qend=p2.qend,
+        pstart=p1.pstart,
+        pend=p2.pend,
+        mismatches=p1.mismatches + p2.mismatches,
+        ops=p1.ops + gap_ops + p2.ops,
+    )
+    return merged
+
+
+def _piece_score(p: Piece) -> int:
+    """matched - 3*mism - gap_cost; equals span - 4*mism for gapless pieces
+    (the original scoring), so junction-join comparisons are unchanged."""
+    matched = 0
+    gap_cost = 0
+    for op, v in p.ops:
+        if op == ":":
+            matched += v
+        elif op in ("-", "+"):
+            gap_cost += GAP_OPEN + GAP_EXTEND * len(v)
+    return matched - 3 * p.mismatches - gap_cost
+
+
 def _snap_join(
     index: PathIndex, seq: str, first: Piece, second: Piece
 ) -> Optional[Tuple[Piece, Piece]]:
@@ -398,7 +482,10 @@ class SplicedAlignment:
         return sum(p.span for p in self.pieces)
 
     def score(self) -> int:
-        return self.span - MISMATCH_PENALTY * self.mismatches
+        return sum(_piece_score(p) for p in self.pieces)
+
+    def matched(self) -> int:
+        return sum(v for p in self.pieces for op, v in p.ops if op == ":")
 
 
 def align_read(
@@ -426,8 +513,12 @@ def align_read(
                 snapped = _snap_join(index, seq, p1, p2)
                 if snapped is not None:
                     cand = SplicedAlignment(list(snapped), reverse)
+                else:
+                    merged = _indel_join(index, seq, p1, p2)
+                    if merged is not None:
+                        cand = SplicedAlignment([merged], reverse)
         # or a clipped head
-        if cand.qstart >= k and len(cand.pieces) == 1:
+        if cand.qstart >= k and len(cand.pieces) == 1 and not _has_gap(cand):
             p0 = _best_piece(
                 index, seq, 0, min(L, p1.qstart + 8), max_mismatch_frac, exclude=excl
             )
@@ -435,6 +526,10 @@ def align_read(
                 snapped = _snap_join(index, seq, p0, p1)
                 if snapped is not None:
                     cand = SplicedAlignment(list(snapped), reverse)
+                else:
+                    merged = _indel_join(index, seq, p0, p1)
+                    if merged is not None:
+                        cand = SplicedAlignment([merged], reverse)
 
         if cand.span < L // 2:
             continue
@@ -443,10 +538,14 @@ def align_read(
     return best
 
 
+def _has_gap(aln: "SplicedAlignment") -> bool:
+    return any(op in ("-", "+") for p in aln.pieces for op, _ in p.ops)
+
+
 def _cs_string(ops: List[Tuple[str, object]]) -> str:
     parts = []
     for op, v in ops:
-        parts.append(f":{v}" if op == ":" else f"*{v}")
+        parts.append(f":{v}" if op == ":" else f"{op}{v}" if op in ("-", "+") else f"*{v}")
     return "".join(parts)
 
 
@@ -533,8 +632,16 @@ def alignment_to_gaf(
     else:
         rev_ops = []
         for op, v in reversed(ops):
-            rev_ops.append((op, v) if op == ":" else (op, revcomp(v[0]) + revcomp(v[1])))
+            if op == ":":
+                rev_ops.append((op, v))
+            elif op in ("-", "+"):
+                rev_ops.append((op, revcomp(v)))
+            else:
+                rev_ops.append((op, revcomp(v[0]) + revcomp(v[1])))
         cs = _cs_string(rev_ops)
+    # matches must count only ':' bases (deleted path bases inflate span)
+    span = aln.span
+    matched = aln.matched()
     return format_gaf(
         index,
         name,
@@ -544,7 +651,7 @@ def alignment_to_gaf(
         cs,
         aln.qstart,
         aln.qend,
-        aln.mismatches,
+        span - matched,
     )
 
 

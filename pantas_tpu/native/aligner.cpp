@@ -58,6 +58,11 @@ struct Vote {
   int count;
 };
 
+struct Gap {
+  int kind = 0;  // 0 none, 1 deletion ('-'), 2 insertion ('+')
+  std::string payload;  // lowercased deleted-path / inserted-read bases
+};
+
 inline char comp(char c) {
   switch (c) {
     case 'A': return 'T'; case 'a': return 't';
@@ -198,6 +203,63 @@ int64_t node_at(const Aligner &A, int pid, int64_t pos) {
   return lo - 1;
 }
 
+constexpr int64_t MAX_INDEL = 16;
+constexpr int GAP_OPEN = 6;
+constexpr int GAP_EXTEND = 2;
+
+// same-path small-diagonal-shift merge: an indel, not a junction
+bool indel_join(const Aligner &A, const char *read, const Piece &first,
+                const Piece &second, Piece &o1, Piece &o2, Gap &gap) {
+  if (second.path != first.path) return false;
+  int64_t diag1 = first.pstart - first.qstart;
+  int64_t diag2 = second.pstart - second.qstart;
+  int64_t g = diag2 - diag1;
+  if (g == 0 || g > MAX_INDEL || g < -MAX_INDEL) return false;
+  const char *ps = A.pseq(first.path);
+  int64_t ins = g < 0 ? -g : 0;
+  int64_t lo = std::max(first.qstart + 1, second.qstart - ins);
+  int64_t hi = std::min(first.qend, second.qend - ins - 1);
+  if (hi < lo) return false;
+  int64_t best_c = -1, best_m = -1;
+  for (int64_t c = lo; c <= hi; ++c) {
+    int64_t m = 0;
+    for (int64_t i = first.qstart; i < c; ++i)
+      if (read[i] == ps[diag1 + i]) ++m;
+    for (int64_t i = c + ins; i < second.qend; ++i)
+      if (read[i] == ps[diag2 + i]) ++m;
+    if (m > best_m) { best_m = m; best_c = c; }
+  }
+  if (best_c < 0) return false;
+  int64_t c = best_c;
+  o1.path = first.path;
+  o1.qstart = first.qstart;
+  o1.qend = c;
+  o1.pstart = diag1 + first.qstart;
+  o1.pend = diag1 + c;
+  o1.mism = 0;
+  for (int64_t i = o1.qstart; i < c; ++i)
+    if (read[i] != ps[diag1 + i]) ++o1.mism;
+  o2.path = second.path;
+  o2.qstart = c + ins;
+  o2.qend = second.qend;
+  o2.pstart = diag2 + c + ins;
+  o2.pend = diag2 + second.qend;
+  o2.mism = 0;
+  for (int64_t i = o2.qstart; i < o2.qend; ++i)
+    if (read[i] != ps[diag2 + i]) ++o2.mism;
+  gap.payload.clear();
+  if (g > 0) {
+    gap.kind = 1;
+    for (int64_t i = diag1 + c; i < diag1 + c + g; ++i)
+      gap.payload += (char)tolower(ps[i]);
+  } else {
+    gap.kind = 2;
+    for (int64_t i = c; i < c + ins; ++i)
+      gap.payload += (char)tolower(read[i]);
+  }
+  return true;
+}
+
 bool snap_join(const Aligner &A, const char *read, const Piece &first,
                const Piece &second, Piece &out1, Piece &out2) {
   int64_t diag1 = first.pstart - first.qstart;
@@ -254,16 +316,30 @@ void cs_piece(const Aligner &A, const char *read, const Piece &p,
   pending_run = run;  // may merge with next piece's leading run
 }
 
+// candidate score: matched - 3*mism - gap_cost (== span - 4*mism gapless,
+// matching the Python SplicedAlignment.score())
+int64_t cand_score(const Piece *cand, int n, const Gap &gap) {
+  int64_t matched = 0, mism = 0;
+  for (int i = 0; i < n; ++i) {
+    matched += cand[i].span() - cand[i].mism;
+    mism += cand[i].mism;
+  }
+  int64_t gap_cost =
+      gap.kind ? GAP_OPEN + GAP_EXTEND * (int64_t)gap.payload.size() : 0;
+  return matched - 3 * mism - gap_cost;
+}
+
 // strand loop + two-piece rescue; returns piece count (0 = unmapped)
 int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
-               bool &best_rev, std::string &fwd, std::string &rev,
-               std::vector<Vote> &scratch) {
+               bool &best_rev, Gap &best_gap, std::string &fwd,
+               std::string &rev, std::vector<Vote> &scratch) {
   fwd.assign(read_in, L);
   rev.resize(L);
   for (int64_t i = 0; i < L; ++i) rev[i] = comp(read_in[L - 1 - i]);
 
   int best_n = 0;
   best_rev = false;
+  best_gap = Gap();
   bool have = false;
   int64_t best_score = 0;
 
@@ -273,6 +349,7 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
     if (!best_piece(A, seq, L, 0, L, false, 0, 0, p1, scratch)) continue;
     Piece cand[2] = {p1, Piece()};
     int cand_n = 1;
+    Gap cand_gap;
 
     int64_t excl_diag = p1.pstart - p1.qstart;
     if (L - p1.qend >= A.k) {
@@ -282,6 +359,10 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
           p2.qend > p1.qend) {
         Piece o1, o2;
         if (snap_join(A, seq, p1, p2, o1, o2)) {
+          cand[0] = o1;
+          cand[1] = o2;
+          cand_n = 2;
+        } else if (indel_join(A, seq, p1, p2, o1, o2, cand_gap)) {
           cand[0] = o1;
           cand[1] = o2;
           cand_n = 2;
@@ -298,19 +379,30 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
           cand[0] = o1;
           cand[1] = o2;
           cand_n = 2;
+        } else if (indel_join(A, seq, p0, p1, o1, o2, cand_gap)) {
+          cand[0] = o1;
+          cand[1] = o2;
+          cand_n = 2;
         }
       }
     }
 
-    int64_t span = 0, mism = 0;
-    for (int i = 0; i < cand_n; ++i) { span += cand[i].span(); mism += cand[i].mism; }
+    // python span check: merged indel alignment spans pstart1..pend2
+    int64_t span;
+    if (cand_gap.kind) {
+      span = cand[1].pend - cand[0].pstart;
+    } else {
+      span = 0;
+      for (int i = 0; i < cand_n; ++i) span += cand[i].span();
+    }
     if (span < L / 2) continue;
-    int64_t score = span - MISMATCH_PENALTY * mism;
+    int64_t score = cand_score(cand, cand_n, cand_gap);
     if (!have || score > best_score) {
       have = true;
       best_score = score;
       best_n = cand_n;
       best_rev = strand == 1;
+      best_gap = cand_gap;
       best[0] = cand[0];
       if (cand_n > 1) best[1] = cand[1];
     }
@@ -320,16 +412,26 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
 
 // build the (possibly reverse-oriented) cs string for the chosen pieces
 void build_cs(Aligner &A, const char *seq, const Piece *best, int best_n,
-              bool best_rev, std::string &cs, int64_t &mism_total) {
+              bool best_rev, const Gap &gap, std::string &cs,
+              int64_t &mism_total) {
   cs.clear();
   int64_t pending = 0;
   mism_total = 0;
+  char buf[32];
   for (int i = 0; i < best_n; ++i) {
     cs_piece(A, seq, best[i], cs, pending);
     mism_total += best[i].mism;
+    if (i == 0 && gap.kind) {
+      if (pending) {
+        snprintf(buf, sizeof buf, ":%lld", (long long)pending);
+        cs += buf;
+        pending = 0;
+      }
+      cs += gap.kind == 1 ? '-' : '+';
+      cs += gap.payload;
+    }
   }
   if (pending) {
-    char buf[32];
     snprintf(buf, sizeof buf, ":%lld", (long long)pending);
     cs += buf;
   }
@@ -337,20 +439,28 @@ void build_cs(Aligner &A, const char *seq, const Piece *best, int best_n,
     std::string rcs;
     rcs.reserve(cs.size());
     std::vector<std::pair<int64_t, int64_t>> toks;
+    auto is_opchar = [](char c) {
+      return c == ':' || c == '*' || c == '-' || c == '+';
+    };
     for (int64_t s = 0; s < (int64_t)cs.size();) {
       int64_t e = s + 1;
-      if (cs[s] == '*') e = s + 3;
-      else { while (e < (int64_t)cs.size() && isdigit((unsigned char)cs[e])) ++e; }
+      while (e < (int64_t)cs.size() && !is_opchar(cs[e])) ++e;
       toks.push_back({s, e - s});
       s = e;
     }
     for (auto it = toks.rbegin(); it != toks.rend(); ++it) {
-      if (cs[it->first] == '*') {
+      char op = cs[it->first];
+      if (op == ':') {
+        rcs.append(cs, it->first, it->second);
+      } else if (op == '*') {
         rcs += '*';
         rcs += comp(cs[it->first + 1]);
         rcs += comp(cs[it->first + 2]);
       } else {
-        rcs.append(cs, it->first, it->second);
+        // '-'/'+' payload reverse-complements wholesale
+        rcs += op;
+        for (int64_t j = it->first + it->second - 1; j > it->first; --j)
+          rcs += comp(cs[j]);
       }
     }
     cs.swap(rcs);
@@ -367,10 +477,24 @@ void format_dv(double x, char *buf, size_t cap) {
   }
 }
 
-// full GAF record for one aligned read (parity with mapper.format_gaf)
+// full GAF record for one aligned read (parity with mapper.format_gaf);
+// a gap alignment reports ONE contiguous walk interval like the Python
+// formatter receives
 void gaf_line(Aligner &A, const char *name, int64_t name_len, int64_t L,
-              const Piece *best, int best_n, bool best_rev,
-              const std::string &cs, int64_t mism_total, std::string &out) {
+              const Piece *best_in, int best_n_in, bool best_rev,
+              const Gap &gap, const std::string &cs, int64_t mism_total,
+              std::string &out) {
+  Piece merged;
+  const Piece *best = best_in;
+  int best_n = best_n_in;
+  if (gap.kind) {
+    merged = best_in[0];
+    merged.qend = best_in[1].qend;
+    merged.pend = best_in[1].pend;
+    merged.mism = best_in[0].mism + best_in[1].mism;
+    best = &merged;
+    best_n = 1;
+  }
   int64_t walk_len = 0, head_start = 0, tail_uncovered = 0, span = 0;
   // collect walk node ids (forward order)
   std::vector<int64_t> walk;
@@ -390,7 +514,10 @@ void gaf_line(Aligner &A, const char *name, int64_t name_len, int64_t L,
   }
   int64_t pstart = best_rev ? tail_uncovered : head_start;
   int64_t pend_excl = best_rev ? walk_len - head_start : walk_len - tail_uncovered;
-  int64_t matches = span - mism_total;
+  // with a deletion gap, span (single interval) includes the deleted path
+  // bases; matched bases exclude them (python: span - matched)
+  int64_t matched_only = mism_total;  // param carries span-matched for gap case
+  int64_t matches = span - matched_only;
   int mapq = best_n == 1 ? 60 : 50;
   char dv[32];
   format_dv(span ? 1.0 - (double)matches / (double)span : 1.0, dv, sizeof dv);
@@ -479,15 +606,16 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
   Aligner &A = *(Aligner *)h;
   Piece best[2];
   bool best_rev;
+  Gap gap;
   std::string fwd, rev;
   std::vector<Vote> scratch;
-  int best_n = align_core(A, read_in, L, best, best_rev, fwd, rev, scratch);
+  int best_n = align_core(A, read_in, L, best, best_rev, gap, fwd, rev, scratch);
   if (best_n == 0) return 0;
 
   const char *seq = best_rev ? rev.c_str() : fwd.c_str();
   std::string cs;
   int64_t mism_total;
-  build_cs(A, seq, best, best_n, best_rev, cs, mism_total);
+  build_cs(A, seq, best, best_n, best_rev, gap, cs, mism_total);
   if ((int64_t)cs.size() + 1 > cs_cap) return -1;
   memcpy(cs_buf, cs.data(), cs.size());
   cs_buf[cs.size()] = 0;
@@ -495,6 +623,20 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
   out_meta[0] = best_rev ? 1 : 0;
   out_meta[1] = best[0].qstart;
   out_meta[2] = best[best_n - 1].qend;
+  if (gap.kind) {
+    // report ONE merged interval; meta[3] = span - matched so the shared
+    // formatter recovers matched correctly (deleted bases are in the span)
+    int64_t matched =
+        (best[0].span() - best[0].mism) + (best[1].span() - best[1].mism);
+    int64_t span = best[1].pend - best[0].pstart;
+    out_meta[3] = span - matched;
+    out_pieces[0] = best[0].path;
+    out_pieces[1] = best[0].pstart;
+    out_pieces[2] = best[1].pend;
+    out_pieces[3] = best[0].qstart;
+    out_pieces[4] = best[1].qend;
+    return 1;
+  }
   out_meta[3] = mism_total;
   for (int i = 0; i < best_n; ++i) {
     out_pieces[i * 5 + 0] = best[i].path;
@@ -547,13 +689,14 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
       auto work = [&](int t) {
         Piece best[2];
         bool rev_flag;
+        Gap gap;
         std::string fwd, rev, cs;
         std::vector<Vote> scratch;
         char buf[96];
         for (size_t i = t; i < reads.size(); i += n_threads) {
           const FqRecord &r = reads[i];
           int n = align_core(A, r.seq.data(), (int64_t)r.seq.size(), best,
-                             rev_flag, fwd, rev, scratch);
+                             rev_flag, gap, fwd, rev, scratch);
           if (n == 0) {
             snprintf(buf, sizeof buf, "\t%lld\t0\t0\t+\t*\t0\t0\t0\t0\t0\t0\n",
                      (long long)r.seq.size());
@@ -561,13 +704,21 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
             continue;
           }
           t_mapped[t]++;
-          if (n > 1) t_spliced[t]++;
+          if (n > 1 && !gap.kind) t_spliced[t]++;
           const char *seq = rev_flag ? rev.c_str() : fwd.c_str();
           int64_t mism_total;
-          build_cs(A, seq, best, n, rev_flag, cs, mism_total);
+          build_cs(A, seq, best, n, rev_flag, gap, cs, mism_total);
+          int64_t meta3;
+          if (gap.kind) {
+            int64_t matched = (best[0].span() - best[0].mism) +
+                              (best[1].span() - best[1].mism);
+            meta3 = (best[1].pend - best[0].pstart) - matched;
+          } else {
+            meta3 = mism_total;
+          }
           lines[i].clear();
           gaf_line(A, r.name.c_str(), (int64_t)r.name.size(),
-                   (int64_t)r.seq.size(), best, n, rev_flag, cs, mism_total,
+                   (int64_t)r.seq.size(), best, n, rev_flag, gap, cs, meta3,
                    lines[i]);
         }
       };
