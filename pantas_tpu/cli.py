@@ -31,12 +31,15 @@ def _cmd_build(argv):
     ap.add_argument("-a", dest="aggressive", action="store_true", help="aggressive prune (hp=1)")
     ap.add_argument("-r", dest="reduce", action="store_true", help="reduce instead of prune (hp=2)")
     ap.add_argument("-t", dest="threads", type=int, default=8)
+    ap.add_argument("-m", dest="max_node_len", type=int, default=32,
+                    help="maximum node length (default 32, vg-compatible)")
     args = ap.parse_args(argv)
     from pantas_tpu.build.pipeline import build_pangenome
 
     hp = 1 if args.aggressive else (2 if args.reduce else 0)
     build_pangenome(
-        args.FA, args.GTF, args.VCF, args.outdir, hp=hp, threads=args.threads
+        args.FA, args.GTF, args.VCF, args.outdir, hp=hp, threads=args.threads,
+        max_node_len=args.max_node_len,
     )
     return 0
 

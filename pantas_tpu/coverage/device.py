@@ -14,6 +14,7 @@ device.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Dict, Iterable, List, Optional, Tuple
 
@@ -157,6 +158,48 @@ def counts_from_device(
     return counts
 
 
+def _save_checkpoint(path: str, enc: SlotEncoder, dev: "DeviceCoverage", offset: int):
+    """Atomic intra-stream checkpoint: device counts + encoder orders +
+    the GAF byte offset of the next unprocessed record.
+
+    Accumulation is pure integer adds, so resuming from the saved offset
+    reproduces the one-shot run exactly (deterministic replay — the
+    elastic-recovery contract from SURVEY §5)."""
+    import pickle
+
+    state = {
+        "counts": np.asarray(dev.counts),
+        "offset": offset,
+        "rejected": enc.rejected,
+        "skipped": enc.skipped,
+        "accepted": enc.accepted,
+        "il_seen": {ni: list(d) for ni, d in enc.il_seen.items()},
+        "ol_seen": {ni: list(d) for ni, d in enc.ol_seen.items()},
+        "novel": enc.novel,
+        "novel_order": enc.novel_order,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump(state, fh)
+    os.replace(tmp, path)
+
+
+def _load_checkpoint(path: str, enc: SlotEncoder, dev: "DeviceCoverage") -> int:
+    import pickle
+
+    with open(path, "rb") as fh:
+        state = pickle.load(fh)
+    dev.counts = dev._jnp.asarray(state["counts"])
+    enc.rejected = state["rejected"]
+    enc.skipped = state["skipped"]
+    enc.accepted = state["accepted"]
+    enc.il_seen = {ni: dict.fromkeys(offs) for ni, offs in state["il_seen"].items()}
+    enc.ol_seen = {ni: dict.fromkeys(offs) for ni, offs in state["ol_seen"].items()}
+    enc.novel = state["novel"]
+    enc.novel_order = state["novel_order"]
+    return int(state["offset"])
+
+
 def augment_gfa_device(
     gaf_path: str,
     gfa_path: str,
@@ -165,8 +208,16 @@ def augment_gfa_device(
     mesh=None,
     flush_every: int = 1 << 20,
     log=sys.stderr,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,  # flushes between checkpoints
+    resume: bool = False,
 ) -> CoverageCounts:
-    """Full augment stage with device-side accumulation."""
+    """Full augment stage with device-side accumulation.
+
+    With ``checkpoint_path``, the device counts and encoder state persist
+    atomically every ``checkpoint_every`` flushes; ``resume=True`` continues
+    a previous run from its saved GAF offset.
+    """
     from pantas_tpu.graph.compiler import compile_gfa
 
     print("Read GFA (tensorize)", file=log)
@@ -176,26 +227,43 @@ def augment_gfa_device(
     enc = SlotEncoder(tensors)
     dev = DeviceCoverage(tensors, mesh=mesh)
 
+    start_offset = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        start_offset = _load_checkpoint(checkpoint_path, enc, dev)
+        print(f"Resuming from checkpoint at offset {start_offset}", file=log)
+
+    def flush():
+        batch = enc.take_slots()
+        for i in range(0, max(len(batch), 1), flush_every):
+            dev.add_slots(batch[i : i + flush_every], pad_to=flush_every)
+
     print("Augmentation by GAF alignments (device scatter-add)", file=log)
-    with open(gaf_path) as fh:
-        for line in fh:
-            if not line.strip():
-                continue
-            ev = read_events(parse_gaf_line(line), node_len, mapq_thr)
-            if ev is REJECTED:
-                enc.rejected += 1
-            elif ev is SKIPPED:
-                enc.skipped += 1
-            else:
-                enc.accepted += 1
-                enc.add(ev)
+    flushes = 0
+    with open(gaf_path, "rb") as fh:
+        fh.seek(start_offset)
+        while True:
+            raw = fh.readline()
+            if not raw:
+                break
+            line = raw.decode()
+            if line.strip():
+                ev = read_events(parse_gaf_line(line), node_len, mapq_thr)
+                if ev is REJECTED:
+                    enc.rejected += 1
+                elif ev is SKIPPED:
+                    enc.skipped += 1
+                else:
+                    enc.accepted += 1
+                    enc.add(ev)
             if len(enc.slots) >= flush_every:
-                batch = enc.take_slots()
-                # keep a stable compiled shape: flush in fixed-size chunks
-                for i in range(0, len(batch), flush_every):
-                    dev.add_slots(batch[i : i + flush_every], pad_to=flush_every)
+                flush()
+                flushes += 1
+                if checkpoint_path and flushes % max(checkpoint_every, 1) == 0:
+                    _save_checkpoint(checkpoint_path, enc, dev, fh.tell())
     if enc.slots:
-        dev.add_slots(enc.take_slots(), pad_to=flush_every)
+        flush()
+    if checkpoint_path:
+        _save_checkpoint(checkpoint_path, enc, dev, os.path.getsize(gaf_path))
 
     counts = counts_from_device(tensors, enc, dev.result())
     print(f"Rejected alignments: {counts.rejected}", file=log)

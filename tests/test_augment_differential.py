@@ -45,3 +45,29 @@ def test_augment_rejindex_counts(tmp_path):
     out = buf.getvalue()
     assert "L\t3\t+\t5\t+\t*\tRC:i:1\tID:Z:N" in out
     assert "L\t1\t+\t3\t+\t*\tRC:i:1\tID:Z:N" in out
+
+
+def test_augment_nondense_ids_matches_reference(tmp_path, reference_scripts):
+    """Sparse numeric ids (vg-prune-style gaps) through all engines."""
+    gfa = tmp_path / "sparse.gfa"
+    gfa.write_text(
+        "S\t4\tACGTACGT\nS\t17\tAC\nS\t90\tGTTT\n"
+        "L\t4\t+\t17\t+\t*\nL\t17\t+\t90\t+\t*\n"
+    )
+    gaf = tmp_path / "sparse.gaf"
+    gaf.write_text(
+        "r1\t9\t0\t9\t+\t>4>17>90\t14\t2\t10\t9\t9\t60\tcs:Z::9\tdv:f:0.0\n"
+        "r2\t6\t0\t6\t+\t>4>90\t12\t3\t9\t6\t6\t60\tcs:Z::6\tdv:f:0.0\n"
+    )
+    expected = run_reference_augment(reference_scripts, str(gaf), str(gfa))
+
+    buf, log = io.StringIO(), io.StringIO()
+    augment_gfa(str(gaf), str(gfa), out=buf, log=log)
+    assert buf.getvalue() == expected
+
+    from pantas_tpu.native import augment_gfa_native, native_available
+
+    if native_available():
+        nbuf, nlog = io.StringIO(), io.StringIO()
+        augment_gfa_native(str(gaf), str(gfa), out=nbuf, log=nlog)
+        assert nbuf.getvalue() == expected

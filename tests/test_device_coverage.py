@@ -55,3 +55,37 @@ def test_device_mesh_invariance(tmp_path):
     assert _augment_device(gaf, gfa, mesh=mesh) == host
     # tiny flush size forces many partial psum merges — still identical
     assert _augment_device(gaf, gfa, mesh=mesh, flush_every=4) == host
+
+
+def test_checkpoint_resume_reproduces_one_shot(tmp_path):
+    """Crash-sim: process a truncated GAF with checkpointing, then resume on
+    the full file — final output must equal the uninterrupted run."""
+    from fixtures_micro import MICRO_GAF_LINES
+
+    gfa, gaf = write_micro(tmp_path)
+    one_shot = _augment_device(gaf, gfa, flush_every=8)
+
+    # "crash" after the first 7 records: run on a truncated prefix
+    truncated = tmp_path / "part.gaf"
+    prefix = "\n".join(MICRO_GAF_LINES[:7]) + "\n"
+    truncated.write_text(prefix)
+    ckpt = str(tmp_path / "cov.ckpt")
+
+    import io
+
+    from pantas_tpu.coverage.device import augment_gfa_device
+
+    buf, log = io.StringIO(), io.StringIO()
+    augment_gfa_device(
+        str(truncated), gfa, out=buf, flush_every=8,
+        checkpoint_path=ckpt, log=log,
+    )
+
+    # resume against the FULL file (same byte prefix) in a fresh session
+    buf2, log2 = io.StringIO(), io.StringIO()
+    augment_gfa_device(
+        gaf, gfa, out=buf2, flush_every=8,
+        checkpoint_path=ckpt, resume=True, log=log2,
+    )
+    assert "Resuming from checkpoint" in log2.getvalue()
+    assert buf2.getvalue() == one_shot
