@@ -113,8 +113,6 @@ def bench_call(gfa):
             augment_gfa_native(str(CACHE / "sample.gaf"), str(gfa), out=out, log=io.StringIO())
     gtf = str(EXAMPLE / "4.gtf")
 
-    import contextlib
-
     from pantas_tpu.events import CallOptions, call_events
 
     t0 = time.time()

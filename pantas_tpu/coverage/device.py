@@ -168,6 +168,7 @@ def _save_checkpoint(path: str, enc: SlotEncoder, dev: "DeviceCoverage", offset:
     import pickle
 
     state = {
+        "total_slots": dev.t.total_slots,
         "counts": np.asarray(dev.counts),
         "offset": offset,
         "rejected": enc.rejected,
@@ -189,6 +190,11 @@ def _load_checkpoint(path: str, enc: SlotEncoder, dev: "DeviceCoverage") -> int:
 
     with open(path, "rb") as fh:
         state = pickle.load(fh)
+    if state.get("total_slots") != dev.t.total_slots:
+        raise ValueError(
+            "checkpoint does not match this graph "
+            f"(slots {state.get('total_slots')} != {dev.t.total_slots})"
+        )
     dev.counts = dev._jnp.asarray(state["counts"])
     enc.rejected = state["rejected"]
     enc.skipped = state["skipped"]
@@ -234,7 +240,7 @@ def augment_gfa_device(
 
     def flush():
         batch = enc.take_slots()
-        for i in range(0, max(len(batch), 1), flush_every):
+        for i in range(0, len(batch), flush_every):
             dev.add_slots(batch[i : i + flush_every], pad_to=flush_every)
 
     print("Augmentation by GAF alignments (device scatter-add)", file=log)

@@ -19,6 +19,11 @@ ETYPES = ["ES", "CE", "IR", "A3", "A5"]
 
 # A truth etype may legitimately be called as either of these types
 # (a novel cassette presents as CE, a skipped exon as ES, ...).
+# Note: alternative-splice-site events whose shifted boundary lies inside
+# the intron also light up the coverage-based novel-IR detector (reads
+# cover the intron edge), so A3/A5 truth often manifests as IR calls at the
+# same locus; scoring stays strict (those count as IR false positives),
+# matching the reference comparator's typing.
 COMPATIBLE = {
     "ES": {"ES", "CE"},
     "CE": {"ES", "CE"},

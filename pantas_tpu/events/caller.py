@@ -79,11 +79,6 @@ class SegInfo:
         self.incoming: List[str] = []  # link file order
         self.outgoing: List[str] = []
 
-    @property
-    def exons(self) -> List[str]:
-        return self.ex_raw.split(",") if self.ex_raw else []
-
-
 class LinkInfo:
     """Link record with LAZY junction-label parsing."""
 

@@ -91,11 +91,14 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
                 continue
             t0 = time.time()
             if not os.path.exists(gaf):
-                with open(gaf, "w") as out:
+                # write-then-rename so a crash never leaves a partial
+                # artifact that a rerun would treat as complete
+                with open(gaf + ".tmp", "w") as out:
                     map_reads(
                         gfa, fqs[0], fqs[1] if len(fqs) > 1 else None,
                         out=out, log=log, threads=threads,
                     )
+                os.replace(gaf + ".tmp", gaf)
             if tensors is None:
                 tensors = compile_gfa(gfa)
             try:
@@ -111,9 +114,10 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
                 with open(gaf) as fh:
                     counts = accumulate_gaf(fh, load_node_lengths(gfa))
             graph = SplicingGraph.from_coverage(gfa, counts)
-            with open(events_csv, "w") as out:
+            with open(events_csv + ".tmp", "w") as out:
                 for row in call_events(gfa, gtf, opts, graph=graph, log=log):
                     print(row, file=out)
+            os.replace(events_csv + ".tmp", events_csv)
             _log(f"{tag}: map+call {time.time() - t0:.1f}s", log)
 
     conds = list(cfg["conditions"])

@@ -704,6 +704,8 @@ class NativePathAligner:
         )
 
     def align_to_gaf(self, name: str, read: str) -> Optional[Tuple[str, int]]:
+        import ctypes
+
         n = self.lib.aln_align(
             self.handle,
             read.encode(),
@@ -713,6 +715,17 @@ class NativePathAligner:
             self._cs,
             len(self._cs),
         )
+        while n == -1 and len(self._cs) < (1 << 24):
+            # cs string exceeded the buffer: grow and retry (distinct from
+            # "unmapped" — dropping the read would silently diverge from
+            # the Python engine)
+            self._cs = ctypes.create_string_buffer(len(self._cs) * 4)
+            n = self.lib.aln_align(
+                self.handle, read.encode(), len(read),
+                self._ptrs[0], self._ptrs[1], self._cs, len(self._cs),
+            )
+        if n == -1:
+            raise IOError("cs buffer overflow during native alignment")
         if n <= 0:
             return None
         reverse = bool(self._meta[0])

@@ -552,10 +552,17 @@ struct FqRecord {
 };
 
 bool read_fastq_record(FILE *fp, FqRecord &rec) {
-  static thread_local std::vector<char> line(1 << 16);
+  // unbounded line reads (long-read FASTQs exceed any fixed buffer)
+  static thread_local std::string line;
   auto getl = [&](std::string *dst) -> bool {
-    if (!fgets(line.data(), line.size(), fp)) return false;
-    size_t n = strlen(line.data());
+    line.clear();
+    char buf[1 << 16];
+    for (;;) {
+      if (!fgets(buf, sizeof buf, fp)) return !line.empty();
+      line += buf;
+      if (!line.empty() && line.back() == '\n') break;
+    }
+    size_t n = line.size();
     while (n && (line[n - 1] == '\n' || line[n - 1] == '\r')) --n;
     if (dst) dst->assign(line.data(), n);
     return true;
@@ -735,10 +742,15 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
       }
       total += (int64_t)reads.size();
       for (auto &l : lines) fwrite(l.data(), 1, l.size(), out);
+      if (ferror(out)) {
+        fclose(fp);
+        fclose(out);
+        return -3;
+      }
     }
     fclose(fp);
   }
-  fclose(out);
+  if (fclose(out) != 0) return -3;
   stats[0] = mapped;
   stats[1] = spliced;
   stats[2] = total;
