@@ -1,0 +1,44 @@
+"""Device-batched ES matching must find exactly the host caller's triples."""
+
+import sys
+
+from conftest import REFERENCE, run_cli
+from fixtures_call import write_call_fixtures
+
+from pantas_tpu.events.batched import find_annotated_es, host_es_triples
+from pantas_tpu.events.caller import SplicingGraph
+from pantas_tpu.io.gtf import parse_transcript_maps
+
+EXAMPLE = REFERENCE / "example"
+
+
+def _compare(gfa, gtf, rca=-1):
+    graph = SplicingGraph.from_gfa(gfa)
+    t2g, _, _ = parse_transcript_maps(gtf)
+    batched = find_annotated_es(graph, t2g, rca=rca)
+    host = host_es_triples(gfa, gtf, rca=rca)
+    assert batched == host
+    return batched
+
+
+def test_batched_es_micro_fixtures(tmp_path):
+    paths = write_call_fixtures(tmp_path)
+    triples = _compare(*paths["splice"])
+    assert len(triples) >= 1  # the TB skip event
+    _compare(*paths["cassette"])
+
+
+def test_batched_es_example_scale(tmp_path, example_graph):
+    gaf = tmp_path / "s.gaf"
+    run_cli(
+        [sys.executable, "-m", "pantas_tpu", "map", str(example_graph),
+         str(EXAMPLE / "reads_1.fq"), str(EXAMPLE / "reads_2.fq")],
+        out_path=gaf,
+    )
+    aug = tmp_path / "aug.gfa"
+    run_cli(
+        [sys.executable, "-m", "pantas_tpu", "augment", str(gaf), str(example_graph)],
+        out_path=aug,
+    )
+    triples = _compare(str(aug), str(EXAMPLE / "4.gtf"), rca=0)
+    assert len(triples) > 10  # a real event set at example scale
