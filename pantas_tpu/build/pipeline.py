@@ -105,7 +105,14 @@ def build_pangenome(
         for c in chroms
     ]
     if threads > 1 and len(jobs) > 1:
-        with ProcessPoolExecutor(max_workers=min(threads, len(jobs))) as ex:
+        # spawn, not fork: the parent may have initialized JAX (multithreaded),
+        # and forking a multithreaded process can deadlock the children
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(
+            max_workers=min(threads, len(jobs)), mp_context=ctx
+        ) as ex:
             per_chrom = list(ex.map(_build_one, jobs))
     else:
         per_chrom = [_build_one(j) for j in jobs]
