@@ -1,20 +1,31 @@
-"""Batched junction-pattern matching on device (annotated exon skipping).
+"""Batched junction-pattern matching on device (annotated ES + A3/A5).
 
 The host caller (:mod:`caller`) enumerates events with reference-exact
-control flow. This module demonstrates the tensorized formulation of the
-same pattern — the BASELINE.md "events/s as batched junction-pattern
-matching" design — for the most regular family, annotated ES:
+control flow. This module provides the tensorized formulation of the same
+patterns — the BASELINE.md "events/s as batched junction-pattern matching"
+design — for the regular annotated families. Exon skipping:
 
     for junction J and flanking junctions j1 (same head), j2 (same tail):
       ES iff  (T[j1] & T[j2]) \\ T[J]  is non-empty            (inclusion)
          and (E[j1.tail] | E[j2.head]) \\ (Ef[J.head] | Ef[J.tail]) non-empty
                                                                 (new exons)
 
+Alternative splice sites (``call.py:377-463`` semantics): for junction J,
+exon-continuation neighbor n (successor of J.head on the donor side,
+predecessor of J.tail on the acceptor side) and same-gene flanking
+junction j (same tail for donor, same head for acceptor):
+
+    hit iff  E[n] & Exside[J] & E[j_far_end] & ~X[J]  is non-empty
+
+where Exside[J] is the gene-filtered exon-label set of J's head (donor) /
+tail (acceptor) node and X[J] is every exon label whose transcript is on
+J — "some continued exon's transcript is NOT already spliced by J".
+
 Transcript sets T and exon-label sets E become packed uint32 bitsets; the
-candidate triples (cheap host grouping by endpoint) evaluate as three
-gathers + bitwise ops + an any-reduce — one fused XLA kernel over all
-candidates at once. Exactness is cross-validated against the host caller's
-ES row set in tests (identical triples on every fixture).
+candidates (cheap host grouping by endpoint/adjacency) evaluate as gathers
++ bitwise ops + an any-reduce — one fused XLA kernel over all candidates
+at once. Exactness is cross-validated against the host caller's row
+multisets in tests (identical hits on every fixture).
 """
 
 from __future__ import annotations
@@ -138,6 +149,172 @@ def find_annotated_es(
         for (a, b, cc), hit in zip(cands, hits)
         if hit
     }
+
+
+def find_annotated_ss(
+    graph: SplicingGraph,
+    t2g: Dict[str, str],
+    genestrand: Dict[str, str],
+    rca: int = -1,
+):
+    """Annotated A5/A3 hits as device bitset ops.
+
+    Returns a ``Counter`` keyed by ``(etype, J, j_other)`` whose counts are
+    the number of exon-continuation neighbors ``n`` that fire the pattern —
+    the host caller (`call.py:377-463` semantics) emits one identical CSV
+    row per such ``n``, so multiplicities are part of the contract.
+    """
+    from collections import Counter
+
+    import jax
+    import jax.numpy as jnp
+
+    junctions = sorted(graph.junctions)
+    if not junctions:
+        return Counter()
+
+    e_vocab: Dict[str, int] = {}
+
+    def e_id(e: str) -> int:
+        return e_vocab.setdefault(e, len(e_vocab))
+
+    j_index = {j: i for i, j in enumerate(junctions)}
+
+    # per-junction gene (unique or None) and haplotype-transcript key set
+    j_gene: List[object] = []
+    j_htkeys: List[Set[str]] = []
+    for j in junctions:
+        hts = graph.jn_hts(j)
+        genes = _genes_of_hts(hts, t2g)
+        j_gene.append(next(iter(genes)) if len(genes) == 1 else None)
+        j_htkeys.append(set(hts))
+
+    # candidate enumeration (cheap host adjacency/endpoint grouping)
+    # branch 0 = donor side (A5 on '+'), branch 1 = acceptor side (A3 on '+')
+    cands: List[Tuple[int, int, int, int]] = []  # (branch, ji, n_node, far_node)
+    keys: List[Tuple[str, Jct, Jct]] = []
+    ex_side: List[Set[int]] = []  # gene-filtered exon ids of J's head/tail node
+    x_sets: List[Set[int]] = []  # exon ids whose transcript is on J
+    node_ids: Dict[str, int] = {}
+
+    def n_id(n: str) -> int:
+        return node_ids.setdefault(n, len(node_ids))
+
+    n_esets_raw: Dict[str, Set[int]] = {}
+
+    def eset(n: str) -> Set[int]:
+        s = n_esets_raw.get(n)
+        if s is None:
+            s = {e_id(e) for e in graph.exset(n)}
+            n_esets_raw[n] = s
+        return s
+
+    # exon labels grouped by transcript key, for X[J] = union over J's hts
+    # (built lazily after the vocab is complete — record per-J key sets now)
+    for J in junctions:
+        ji = j_index[J]
+        gene = j_gene[ji]
+        if gene is None or graph.rc(J) < rca:
+            continue
+        Js1 = graph.j_by_head.get(J[0], graph._empty_j) - {J}
+        Js2 = graph.j_by_tail.get(J[1], graph._empty_j) - {J}
+        Js1 = {x for x in Js1 if gene in _genes_of_hts(graph.jn_hts(x), t2g)}
+        Js2 = {x for x in Js2 if gene in _genes_of_hts(graph.jn_hts(x), t2g)}
+        strand = genestrand[gene]
+
+        exons1 = {
+            e_id(e)
+            for e in graph.exset(J[0])
+            if t2g[_exon_label_th(e)[0]] == gene
+        }
+        exons2 = {
+            e_id(e)
+            for e in graph.exset(J[1])
+            if t2g[_exon_label_th(e)[0]] == gene
+        }
+
+        if Js2:
+            etype = "A5" if strand == "+" else "A3"
+            for n in graph.out(J[0]):
+                if n == J[1]:
+                    continue
+                for j2 in sorted(Js2):
+                    if j2[0] == J[0]:
+                        continue
+                    cands.append((0, ji, n_id(n), n_id(j2[0])))
+                    keys.append((etype, J, j2))
+                    ex_side.append(exons1)
+                    x_sets.append(ji)  # placeholder, resolved below
+        if Js1:
+            etype = "A3" if strand == "+" else "A5"
+            for n in graph.inc(J[1]):
+                if n == J[0]:
+                    continue
+                for j1 in sorted(Js1):
+                    if j1[1] == J[1]:
+                        continue
+                    cands.append((1, ji, n_id(n), n_id(j1[1])))
+                    keys.append((etype, J, j1))
+                    ex_side.append(exons2)
+                    x_sets.append(ji)
+    if not cands:
+        return Counter()
+
+    # materialize node exon bitsets for every node a candidate touches
+    for n in list(node_ids):
+        eset(n)
+    vocab = len(e_vocab)
+
+    # X[J]: exon-label ids whose transcript key is in J's ht set — over the
+    # final vocab (labels only enter the vocab via candidate-relevant nodes)
+    t2e: Dict[str, Set[int]] = {}
+    for e, i in e_vocab.items():
+        t2e.setdefault(_exon_label_th(e)[0], set()).add(i)
+    x_cache: Dict[int, Set[int]] = {}
+    x_rows: List[Set[int]] = []
+    for ji in x_sets:
+        s = x_cache.get(ji)
+        if s is None:
+            s = set()
+            for t in j_htkeys[ji]:
+                s |= t2e.get(t, set())
+            x_cache[ji] = s
+        x_rows.append(s)
+
+    node_rows = [set() for _ in range(len(node_ids))]
+    for n, i in node_ids.items():
+        node_rows[i] = n_esets_raw[n]
+    E = jnp.asarray(_bitset_matrix(node_rows, vocab))
+    Ex = jnp.asarray(_bitset_matrix(ex_side, vocab))
+    X = jnp.asarray(_bitset_matrix(x_rows, vocab))
+
+    c = np.asarray([(n, f) for _, _, n, f in cands], dtype=np.int32)
+
+    @jax.jit
+    def match(E, Ex, X, nn, ff):
+        hit = (E[nn] & Ex & E[ff]) & ~X
+        return jnp.any(hit != 0, axis=1)
+
+    hits = np.asarray(match(E, Ex, X, jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1])))
+    return Counter(k for k, h in zip(keys, hits) if h)
+
+
+def host_ss_rows(gfa_path: str, gtf_path: str, rca: int = -1):
+    """Reference-exact host caller's annotated A5/A3 hit multiset."""
+    from collections import Counter
+
+    from pantas_tpu.events.caller import call_events
+
+    opts = CallOptions(rca=rca, events=["SS"])
+    out = Counter()
+    for row in call_events(gfa_path, gtf_path, opts):
+        cols = row.split(",")
+        if cols[0] not in ("A5", "A3") or cols[1] != "annotated":
+            continue
+        j = tuple(cols[8].split(">"))
+        jo = tuple(cols[10].split(">"))
+        out[(cols[0], j, jo)] += 1
+    return out
 
 
 def host_es_triples(

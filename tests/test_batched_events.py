@@ -5,7 +5,12 @@ import sys
 from conftest import REFERENCE, run_cli
 from fixtures_call import write_call_fixtures
 
-from pantas_tpu.events.batched import find_annotated_es, host_es_triples
+from pantas_tpu.events.batched import (
+    find_annotated_es,
+    find_annotated_ss,
+    host_es_triples,
+    host_ss_rows,
+)
 from pantas_tpu.events.caller import SplicingGraph
 from pantas_tpu.io.gtf import parse_transcript_maps
 
@@ -17,6 +22,15 @@ def _compare(gfa, gtf, rca=-1):
     t2g, _, _ = parse_transcript_maps(gtf)
     batched = find_annotated_es(graph, t2g, rca=rca)
     host = host_es_triples(gfa, gtf, rca=rca)
+    assert batched == host
+    return batched
+
+
+def _compare_ss(gfa, gtf, rca=-1):
+    graph = SplicingGraph.from_gfa(gfa)
+    t2g, genestrand, _ = parse_transcript_maps(gtf)
+    batched = find_annotated_ss(graph, t2g, genestrand, rca=rca)
+    host = host_ss_rows(gfa, gtf, rca=rca)
     assert batched == host
     return batched
 
@@ -42,3 +56,12 @@ def test_batched_es_example_scale(tmp_path, example_graph):
     )
     triples = _compare(str(aug), str(EXAMPLE / "4.gtf"), rca=0)
     assert len(triples) > 10  # a real event set at example scale
+    hits = _compare_ss(str(aug), str(EXAMPLE / "4.gtf"), rca=0)
+    assert sum(hits.values()) > 10
+
+
+def test_batched_ss_micro_fixtures(tmp_path):
+    paths = write_call_fixtures(tmp_path)
+    for name in ("splice", "cassette", "a5", "a3"):
+        if name in paths:
+            _compare_ss(*paths[name])
