@@ -163,6 +163,23 @@ def _cmd_remap(argv):
     return 0
 
 
+def _cmd_reduce(argv):
+    """Standalone GFA reducer (the reference's ``build/reduce.py`` tool)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu reduce")
+    ap.add_argument("GFA")
+    ap.add_argument("-k", dest="k", type=int, default=0,
+                    help="extend each transcript interval by k ids")
+    ap.add_argument("-t", dest="tridx", type=str, default="ENST",
+                    help="transcript-id prefix (default ENST)")
+    args = ap.parse_args(argv)
+    from pantas_tpu.build.reduce import reduce_gfa
+
+    if args.k > 0:
+        print("Setting k>0 is experimental and not tested", file=sys.stderr)
+    reduce_gfa(args.GFA, sys.stdout, tridx=args.tridx, k=args.k)
+    return 0
+
+
 def _cmd_map(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu map")
     ap.add_argument("GFA")
@@ -299,6 +316,7 @@ _COMMANDS = {
     "quant": _cmd_quant,
     "remap": _cmd_remap,
     "map": _cmd_map,
+    "reduce": _cmd_reduce,
     "replicate": _cmd_replicate,
     "exp": _cmd_exp,
     "sim": _cmd_sim,
@@ -313,6 +331,7 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     quant       quantify events comparing conditions
     remap       remap events to reference haplotype
     map         align reads to the spliced pangenome (GAF output)
+    reduce      reduce a GFA to its transcript id-intervals (gene panels)
     replicate   fused GAF -> events (augment+call, no GFA round trip)
     exp         run a full two-condition experiment from a JSON config
     sim         simulate AS-event reads with ground truth
