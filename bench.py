@@ -90,15 +90,18 @@ def bench_native(gfa, big, n_reads):
     from pantas_tpu.native import augment_gfa_native
 
     threads = os.cpu_count() or 1
-    log(f"timing native engine ({threads} parse threads)..")
-    t0 = time.time()
-    with open(os.devnull, "w") as devnull:
-        augment_gfa_native(
-            str(big), str(gfa), out=devnull, log=io.StringIO(), threads=threads
-        )
-    dt = time.time() - t0
-    log(f"native: {n_reads} reads in {dt:.2f}s = {n_reads / dt:.0f} reads/s")
-    return n_reads / dt
+    log(f"timing native engine ({threads} parse threads, best of 2)..")
+    best = None
+    for i in range(2):  # first run warms the page cache; report steady state
+        t0 = time.time()
+        with open(os.devnull, "w") as devnull:
+            augment_gfa_native(
+                str(big), str(gfa), out=devnull, log=io.StringIO(), threads=threads
+            )
+        dt = time.time() - t0
+        log(f"native run {i}: {n_reads} reads in {dt:.2f}s = {n_reads / dt:.0f} reads/s")
+        best = dt if best is None else min(best, dt)
+    return n_reads / best
 
 
 def bench_call(gfa):

@@ -46,8 +46,15 @@ struct Engine {
   bool dense_ids = false;             // ids are exactly 1..n_nodes
 
   std::vector<int32_t> counts;        // flat counts vector
-  std::vector<uint8_t> slot_seen;     // first-seen marker for IL/OL slots
   std::vector<int64_t> seen_order;    // IL/OL slots in first-seen order
+  // (no separate seen-flag array: hist slots are touched only by
+  //  bump_hist, so counts[slot]==0 IS the never-seen predicate)
+
+  // CSR over the sorted edge table: edge_key's (src<<32|dst) sort order IS
+  // grouped-by-src order, so csr_off[src]..csr_off[src+1] indexes the slot
+  // range of src's out-edges — O(out-degree) lookup, 2 cache lines, instead
+  // of a 17-level binary search over the whole table
+  std::vector<int64_t> csr_off;       // size n_nodes+1
 
   std::unordered_map<uint64_t, int32_t> novel;  // packed idx pair -> count
   std::vector<uint64_t> novel_order;
@@ -81,29 +88,38 @@ struct Engine {
   }
 
   int64_t edge_slot(uint64_t key) const {
-    int64_t lo = 0, hi = n_edges;
-    while (lo < hi) {
-      int64_t mid = (lo + hi) / 2;
-      if (edge_key[mid] < key) lo = mid + 1;
-      else hi = mid;
-    }
-    if (lo < n_edges && edge_key[lo] == key) return lo;
+    int64_t src = (int64_t)(key >> 32);
+    for (int64_t i = csr_off[src], e = csr_off[src + 1]; i < e; ++i)
+      if (edge_key[i] == key) return i;
     return -1;
+  }
+
+  void build_csr() {
+    csr_off.assign(n_nodes + 1, 0);
+    for (int64_t i = 0; i < n_edges; ++i)
+      csr_off[(edge_key[i] >> 32) + 1]++;
+    for (int64_t i = 0; i < n_nodes; ++i) csr_off[i + 1] += csr_off[i];
   }
 
   void bump(int64_t slot) { counts[slot]++; }
 
   void bump_hist(int64_t slot) {
-    counts[slot]++;
-    if (!slot_seen[slot]) {
-      slot_seen[slot] = 1;
-      seen_order.push_back(slot);
-    }
+    if (counts[slot]++ == 0) seen_order.push_back(slot);
   }
 };
 
 inline bool is_op(char c) {
   return c == '=' || c == ':' || c == '*' || c == '+' || c == '-' || c == '~';
+}
+
+inline bool is_dig(char c) { return (unsigned)(c - '0') <= 9u; }
+
+// non-negative integer parse over [s, e); stops at the first non-digit —
+// same result as strtoll on these fields (GAF numeric columns are unsigned)
+inline int64_t parse_u(const char *s, const char *e) {
+  int64_t v = 0;
+  while (s < e && is_dig(*s)) v = v * 10 + (*s++ - '0');
+  return v;
 }
 
 // cs tokenizer; contract identical to io/gaf.py::tokenize_cs
@@ -118,9 +134,9 @@ void tokenize_cs(const char *s, const char *end, std::vector<Cig> &out) {
     } else {
       bool digits = tend > tstart;
       for (const char *p = tstart; p < tend; ++p)
-        if (!isdigit((unsigned char)*p)) { digits = false; break; }
+        if (!is_dig(*p)) { digits = false; break; }
       if (digits)
-        out.push_back({op, strtoll(tstart, nullptr, 10)});
+        out.push_back({op, parse_u(tstart, tend)});
       else
         out.push_back({op, tend - tstart});
     }
@@ -141,7 +157,7 @@ void tokenize_cs(const char *s, const char *end, std::vector<Cig> &out) {
 struct Field {
   const char *s;
   const char *e;
-  int64_t as_int() const { return strtoll(s, nullptr, 10); }
+  int64_t as_int() const { return parse_u(s, e); }
 };
 
 // process one GAF line; returns 0 ok
@@ -185,6 +201,7 @@ void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
   double dv = -1.0;
   bool has_dv = false;
   for (const char *t = tags_start; t + 2 < lend; ++t) {
+    if (cs_s && has_dv) break;  // first match wins for both (re.search)
     if (!cs_s && t[0] == 'c' && t[1] == 's' && t[2] == ':') {
       cs_s = t;
       const char *q = t;
@@ -194,7 +211,7 @@ void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
     if (!has_dv && t + 4 < lend && t[0] == 'd' && t[1] == 'v' && t[2] == ':' &&
         t[3] == 'f' && t[4] == ':') {
       const char *q = t + 5;
-      if (q < lend && isdigit((unsigned char)*q)) {
+      if (q < lend && is_dig(*q)) {
         // mirror the reference regex dv:f:(\d+(\.\d+)?) exactly: stop at
         // anything but digits and one dot (no exponent notation)
         const char *d = q;
@@ -252,7 +269,7 @@ void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
         ++q;
         const char *ns = q;
         while (q < f[5].e && *q != '<' && *q != '>') ++q;
-        int64_t id = strtoll(ns, nullptr, 10);
+        int64_t id = parse_u(ns, q);
         if (E.walk.empty() || id != last_id) {
           int64_t ni = E.node_index(id);
           // unknown node: mirror reference KeyError by skipping line hard
@@ -428,7 +445,7 @@ Engine *clone_config(const Engine &E) {
   c->total_slots = E.total_slots;
   c->dense_ids = E.dense_ids;
   c->counts.assign(E.total_slots, 0);
-  c->slot_seen.assign(E.total_slots, 0);
+  c->csr_off = E.csr_off;
   return c;
 }
 
@@ -437,13 +454,10 @@ Engine *clone_config(const Engine &E) {
 // chunk i+1, and within-chunk order is the stream order) — this keeps the
 // multi-threaded augmented-GFA emission byte-identical to a serial run.
 void merge_shard(Engine &M, Engine &S) {
+  // seen check must precede the count add (M.counts[slot]>0 == M saw it)
+  for (int64_t slot : S.seen_order)
+    if (M.counts[slot] == 0) M.seen_order.push_back(slot);
   for (int64_t i = 0; i < M.total_slots; ++i) M.counts[i] += S.counts[i];
-  for (int64_t slot : S.seen_order) {
-    if (!M.slot_seen[slot]) {
-      M.slot_seen[slot] = 1;
-      M.seen_order.push_back(slot);
-    }
-  }
   for (uint64_t key : S.novel_order) {
     auto it = M.novel.find(key);
     if (it == M.novel.end()) {
@@ -527,7 +541,7 @@ void *gafcov_create(int64_t n_nodes, const int64_t *ids, const int32_t *node_len
   E->total_slots = total_slots;
   E->dense_ids = dense_ids != 0;
   E->counts.assign(total_slots, 0);
-  E->slot_seen.assign(total_slots, 0);
+  E->build_csr();
   return E;
 }
 
