@@ -180,6 +180,19 @@ def _cmd_reduce(argv):
     return 0
 
 
+def _cmd_gamp(argv):
+    """Legacy GAMP (vg-JSON) augmenter (edge weights only)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu gamp")
+    ap.add_argument("JSON", help="vg multipath alignments as line-JSON")
+    ap.add_argument("PATHS", help="output path-walks file")
+    ap.add_argument("GFA")
+    args = ap.parse_args(argv)
+    from pantas_tpu.coverage.gamp import augment_gamp
+
+    augment_gamp(args.JSON, args.PATHS, args.GFA, out=sys.stdout)
+    return 0
+
+
 def _cmd_map(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu map")
     ap.add_argument("GFA")
@@ -317,6 +330,7 @@ _COMMANDS = {
     "remap": _cmd_remap,
     "map": _cmd_map,
     "reduce": _cmd_reduce,
+    "gamp": _cmd_gamp,
     "replicate": _cmd_replicate,
     "exp": _cmd_exp,
     "sim": _cmd_sim,
