@@ -180,6 +180,33 @@ def _cmd_reduce(argv):
     return 0
 
 
+def _cmd_prune(argv):
+    """Legacy interval pruning utility (the reference's prune_gfa.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu prune")
+    ap.add_argument("GFA")
+    ap.add_argument("-w", dest="w", type=int, default=0,
+                    help="extend subgraphs by W nodes")
+    ap.add_argument("-t", dest="tprefix", default="ENST",
+                    help="transcript prefix (default ENST)")
+    args = ap.parse_args(argv)
+    from pantas_tpu.build.legacy import prune_gfa
+
+    prune_gfa(args.GFA, sys.stdout, w=args.w, tprefix=args.tprefix)
+    return 0
+
+
+def _cmd_reintroduce(argv):
+    """Restore P lines from an unpruned GFA (reintroduce_paths.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu reintroduce-paths")
+    ap.add_argument("GFA", help="original (unpruned) GFA")
+    ap.add_argument("PRUNED_GFA")
+    args = ap.parse_args(argv)
+    from pantas_tpu.build.legacy import reintroduce_paths
+
+    reintroduce_paths(args.GFA, args.PRUNED_GFA, sys.stdout)
+    return 0
+
+
 def _cmd_gamp(argv):
     """Legacy GAMP (vg-JSON) augmenter (edge weights only)."""
     ap = argparse.ArgumentParser(prog="pantas-tpu gamp")
@@ -331,6 +358,8 @@ _COMMANDS = {
     "map": _cmd_map,
     "reduce": _cmd_reduce,
     "gamp": _cmd_gamp,
+    "prune": _cmd_prune,
+    "reintroduce-paths": _cmd_reintroduce,
     "replicate": _cmd_replicate,
     "exp": _cmd_exp,
     "sim": _cmd_sim,
