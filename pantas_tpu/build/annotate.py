@@ -182,6 +182,7 @@ def write_annotated_gfa(
     out: TextIO,
     hp: int = 0,
     keep_nodes=None,
+    w_lines: bool = False,
 ) -> None:
     """Emit the annotated GFA: H, S (ascending id), L (sorted), P lines.
 
@@ -190,6 +191,10 @@ def write_annotated_gfa(
     the reference build's ``--add-ref-paths``-only mode
     (``build/build.smk:10-12,153``). Tags are unaffected.
     ``keep_nodes``: optional node-id set filter (reduce mode).
+    ``w_lines``: emit haplotype-aware transcript walks as GFA 1.1 W lines
+    (``W sample hap seqid 0 len walk``) instead of P lines — the vg-style
+    walk output; every downstream stage ignores W lines exactly like the
+    reference scripts do (S/L/P dispatch only).
     """
     g = ptx.graph
     w = out.write
@@ -241,7 +246,13 @@ def write_annotated_gfa(
             continue
         if keep_nodes is not None and not all(kept(n) for n in copy.path):
             continue
-        _write_path(out, copy.name, copy.path)
+        if w_lines and copy.source_hap != REF_HAP:
+            sample, _, hap = copy.source_hap.partition("#")
+            walk = "".join(f">{n}" for n in copy.path)
+            length = sum(len(g.seq(n)) for n in copy.path)
+            out.write(f"W\t{sample}\t{hap}\t{copy.name}\t0\t{length}\t{walk}\n")
+        else:
+            _write_path(out, copy.name, copy.path)
 
 
 def _write_path(out: TextIO, name: str, path: Sequence[int]) -> None:

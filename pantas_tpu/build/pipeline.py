@@ -36,6 +36,7 @@ def build_chromosome(
     out_gfa: str,
     hp: int = 0,
     max_node_len: int = DEFAULT_MAX_NODE_LEN,
+    w_lines: bool = False,
     log=sys.stderr,
 ) -> str:
     t0 = time.time()
@@ -64,7 +65,7 @@ def build_chromosome(
 
     os.makedirs(os.path.dirname(out_gfa), exist_ok=True)
     with open(out_gfa, "w") as fh:
-        write_annotated_gfa(ptx, ann, fh, hp=hp, keep_nodes=keep)
+        write_annotated_gfa(ptx, ann, fh, hp=hp, keep_nodes=keep, w_lines=w_lines)
     print(
         f"[build:{chrom}] {graph.n_nodes()} nodes, {len(graph.edges)} edges, "
         f"{len(ptx.copies)} transcript copies, {len(graph.sites)} sites "
@@ -86,6 +87,7 @@ def build_pangenome(
     hp: int = 0,
     threads: int = 8,
     max_node_len: int = DEFAULT_MAX_NODE_LEN,
+    w_lines: bool = False,
     chroms: Optional[List[str]] = None,
     log=sys.stderr,
 ) -> str:
@@ -101,6 +103,7 @@ def build_pangenome(
             os.path.join(outdir, "chroms", c, "pantranscriptome-annotated.gfa"),
             hp,
             max_node_len,
+            w_lines,
         )
         for c in chroms
     ]

@@ -33,13 +33,15 @@ def _cmd_build(argv):
     ap.add_argument("-t", dest="threads", type=int, default=8)
     ap.add_argument("-m", dest="max_node_len", type=int, default=32,
                     help="maximum node length (default 32, vg-compatible)")
+    ap.add_argument("--w-lines", dest="w_lines", action="store_true",
+                    help="emit haplotype transcript walks as GFA 1.1 W lines")
     args = ap.parse_args(argv)
     from pantas_tpu.build.pipeline import build_pangenome
 
     hp = 1 if args.aggressive else (2 if args.reduce else 0)
     build_pangenome(
         args.FA, args.GTF, args.VCF, args.outdir, hp=hp, threads=args.threads,
-        max_node_len=args.max_node_len,
+        max_node_len=args.max_node_len, w_lines=args.w_lines,
     )
     return 0
 

@@ -87,3 +87,60 @@ def test_reduce_mode_keeps_transcript_intervals(tmp_path):
     for p in gr.paths:
         for sid, _ in p.steps:
             assert gr.segment(sid) is not None
+
+
+def test_w_lines_build_and_augment_passthrough(tmp_path):
+    """`build --w-lines`: haplotype walks become GFA 1.1 W lines; the graph
+    stays fully functional downstream, and the reference augmenter treats
+    the W lines exactly like ours (byte-identical pass-through)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    fa, gtf, vcf = _write_inputs(tmp_path)
+    out = build_pangenome(
+        fa, gtf, vcf, str(tmp_path / "wl"), threads=1, w_lines=True, log=io.StringIO()
+    )
+    text = open(out).read()
+    lines = text.splitlines()
+    w_rows = [l.split("\t") for l in lines if l.startswith("W\t")]
+    p_names = [l.split("\t")[1] for l in lines if l.startswith("P\t")]
+    assert w_rows, "haplotype walks must be W lines"
+    assert not any("_H" in n for n in p_names), "no haplotype P lines left"
+    assert any("_R1" in n for n in p_names), "reference transcripts stay P"
+    seg_ids = {l.split("\t")[1] for l in lines if l.startswith("S\t")}
+    for row in w_rows:
+        assert row[1] == "s1" and row[2] in ("1", "2")
+        steps = [s for s in row[6].replace(">", " ").split() if s]
+        assert steps and all(s in seg_ids for s in steps)
+
+    # byte-identical augment on the W-line graph (W lines pass through both)
+    segs = {l.split("\t")[1]: l.split("\t")[2] for l in lines if l.startswith("S\t")}
+    a, b = next(
+        (l.split("\t")[1], l.split("\t")[3]) for l in lines if l.startswith("L\t")
+    )
+    la, lb = len(segs[a]), len(segs[b])
+    gaf = tmp_path / "mini.gaf"
+    plen = la + lb
+    gaf.write_text(
+        f"r1\t{plen}\t0\t{plen}\t+\t>{a}>{b}\t{plen}\t0\t{plen - 1}\t{plen}\t{plen}\t60\t"
+        f"dv:f:0.0\tcs:Z::{plen}\n"
+    )
+    env_repo = str(Path(__file__).resolve().parent.parent)
+    import os
+
+    env = dict(os.environ, PYTHONPATH=env_repo)
+    ours = subprocess.run(
+        [sys.executable, "-m", "pantas_tpu", "augment", str(gaf), out],
+        capture_output=True, env=env,
+    )
+    ref = subprocess.run(
+        [sys.executable, "/root/reference/scripts/alignments_augmentation_from_gaf.py",
+         str(gaf), out],
+        capture_output=True, env=env,
+    )
+    assert ours.returncode == 0 and ref.returncode == 0, (
+        ours.stderr[-500:], ref.stderr[-500:]
+    )
+    assert ours.stdout == ref.stdout
+    assert b"W\ts1\t" in ours.stdout
