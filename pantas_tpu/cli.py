@@ -100,6 +100,13 @@ def _cmd_call(argv):
     ap.add_argument("--minintronsize", "-l", dest="minintronsize", type=int, default=100)
     ap.add_argument("--junction", dest="junction", type=str, default=None)
     ap.add_argument("--debug", dest="debug", action="store_true")
+    ap.add_argument(
+        "--engine",
+        choices=["host", "device"],
+        default="host",
+        help="host: reference-exact enumerator; device: annotated ES/A3/A5 "
+        "as batched bitset matching on device (same row multiset)",
+    )
     args = ap.parse_args(argv)
     from pantas_tpu.events import CallOptions, call_events
 
@@ -116,7 +123,11 @@ def _cmd_call(argv):
         junction=args.junction,
         debug=args.debug,
     )
-    for row in call_events(args.GFA, args.GTF, opts):
+    if args.engine == "device":
+        from pantas_tpu.events.batched import call_events_device as call_fn
+    else:
+        call_fn = call_events
+    for row in call_fn(args.GFA, args.GTF, opts):
         print(row)
     return 0
 

@@ -299,6 +299,107 @@ def find_annotated_ss(
     return Counter(k for k, h in zip(keys, hits) if h)
 
 
+def call_events_device(
+    gfa_path: str,
+    gtf_path: str,
+    opts: CallOptions,
+    log=None,
+    graph: Optional[SplicingGraph] = None,
+):
+    """Device-batched call engine: annotated ES + A3/A5 evaluate as packed-
+    bitset gathers on device (:func:`find_annotated_es` /
+    :func:`find_annotated_ss`); annotated IR (irregular bounded path
+    reconstruction) and the novel pass stay on the reference-exact host
+    enumerator. Emits the same row MULTISET as the host caller — row order
+    follows sorted candidate order instead of Python set iteration, which
+    is within the equality contract (the reference's own row order is
+    hash-seed dependent, ``call.py:240,531``).
+    """
+    import sys
+    from dataclasses import replace
+
+    from pantas_tpu.events.caller import (
+        CSV_HEADER,
+        _call_annotated,
+        _call_novel,
+        _row,
+        transcript_of_label,
+    )
+    from pantas_tpu.io.gtf import parse_transcript_maps
+
+    log = sys.stderr if log is None else log
+    if graph is None:
+        graph = SplicingGraph.from_gfa(gfa_path)
+    t2g, genestrand, genechr = parse_transcript_maps(gtf_path)
+    yield CSV_HEADER
+
+    # QUIRK parity: the reference's --junction filter compares a broken
+    # f-string LITERAL (call.py:241), so any value except that literal
+    # filters out every annotated junction — mirror the host caller.
+    annotated_filtered = (
+        opts.junction is not None and opts.junction != "f{_j[0]}-{_j[1]}"
+    )
+    if not opts.no_annotated and not annotated_filtered:
+        if "ES" in opts.events:
+            for J, j1, j2 in sorted(find_annotated_es(graph, t2g, rca=opts.rca)):
+                _ht = graph.jn_hts(J)
+                inclusion = (
+                    set(graph.jn_hts(j1)) & set(graph.jn_hts(j2))
+                ) - set(_ht)
+                gene = next(iter(_genes_of_hts(_ht, t2g)))
+                yield _row(
+                    "ES",
+                    "annotated",
+                    genechr[gene],
+                    gene,
+                    genestrand[gene],
+                    "|".join(graph.link[J].jn),
+                    "|".join(
+                        x for x in graph.link[j1].jn
+                        if transcript_of_label(x) in inclusion
+                    ),
+                    "|".join(
+                        x for x in graph.link[j2].jn
+                        if transcript_of_label(x) in inclusion
+                    ),
+                    ">".join(J),
+                    graph.rc(J),
+                    ">".join(j1),
+                    graph.rc(j1),
+                    ">".join(j2),
+                    graph.rc(j2),
+                )
+        if "SS" in opts.events:
+            hits = find_annotated_ss(graph, t2g, genestrand, rca=opts.rca)
+            for (etype, J, jo), count in sorted(hits.items()):
+                gene = next(iter(_genes_of_hts(graph.jn_hts(J), t2g)))
+                row = _row(
+                    etype,
+                    "annotated",
+                    genechr[gene],
+                    gene,
+                    genestrand[gene],
+                    "|".join(graph.link[J].jn),
+                    "|".join(graph.link[jo].jn),
+                    ".",
+                    ">".join(J),
+                    graph.rc(J),
+                    ">".join(jo),
+                    graph.rc(jo),
+                    ".",
+                    ".",
+                )
+                for _ in range(count):
+                    yield row
+        if "IR" in opts.events:
+            ir_opts = replace(opts, events=["IR"])
+            yield from _call_annotated(
+                graph, t2g, genestrand, genechr, ir_opts, log
+            )
+    if opts.novel:
+        yield from _call_novel(graph, t2g, genestrand, genechr, opts, log)
+
+
 def host_ss_rows(gfa_path: str, gtf_path: str, rca: int = -1):
     """Reference-exact host caller's annotated A5/A3 hit multiset."""
     from collections import Counter

@@ -65,3 +65,42 @@ def test_batched_ss_micro_fixtures(tmp_path):
     for name in ("splice", "cassette", "a5", "a3"):
         if name in paths:
             _compare_ss(*paths[name])
+
+
+def _rows(cmd_extra, gfa, gtf, tmp_path, tag):
+    out = tmp_path / f"{tag}.csv"
+    run_cli(
+        [sys.executable, "-m", "pantas_tpu", "call", *cmd_extra, str(gfa), str(gtf)],
+        out_path=out,
+        hashseed="0",
+    )
+    return sorted(out.read_text().splitlines())
+
+
+def test_device_call_engine_micro(tmp_path):
+    paths = write_call_fixtures(tmp_path)
+    for name in ("splice", "cassette"):
+        gfa, gtf = paths[name]
+        for flags in ([], ["--rca", "0"], ["--rca", "0", "--novel"],
+                      ["--junction", "nonsense"]):
+            host = _rows(flags, gfa, gtf, tmp_path, "host")
+            dev = _rows(flags + ["--engine", "device"], gfa, gtf, tmp_path, "dev")
+            assert dev == host, (name, flags)
+
+
+def test_device_call_engine_example_scale(tmp_path, example_graph):
+    gaf = tmp_path / "s.gaf"
+    run_cli(
+        [sys.executable, "-m", "pantas_tpu", "map", str(example_graph),
+         str(EXAMPLE / "reads_1.fq"), str(EXAMPLE / "reads_2.fq")],
+        out_path=gaf,
+    )
+    aug = tmp_path / "aug.gfa"
+    run_cli(
+        [sys.executable, "-m", "pantas_tpu", "augment", str(gaf), str(example_graph)],
+        out_path=aug,
+    )
+    host = _rows(["--rca", "0"], aug, EXAMPLE / "4.gtf", tmp_path, "host")
+    dev = _rows(["--rca", "0", "--engine", "device"], aug, EXAMPLE / "4.gtf", tmp_path, "dev")
+    assert dev == host
+    assert len(host) > 100
