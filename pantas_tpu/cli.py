@@ -300,6 +300,31 @@ def _cmd_replicate(argv):
     return 0
 
 
+def _cmd_gaf2sam(argv):
+    """Project GAF walks to linear SAM (exps/3-homo gaf2sam.py equivalent)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu gaf2sam")
+    ap.add_argument("GAF")
+    ap.add_argument("GFA")
+    ap.add_argument("POSITIONS", nargs="?", default=None,
+                    help="path\\tpos,pos,... node-position file (reference-compatible); "
+                    "omit to derive positions from the graph's chromosome paths")
+    ap.add_argument("--sq", choices=["auto", "hg38"], default="auto",
+                    help="@SQ header source: derived from the graph (auto) or the "
+                    "reference script's hardcoded hg38 table")
+    ap.add_argument("--debug", action="store_true", help="progress/skip log on stderr")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.gaf2sam import gaf_to_sam
+
+    if args.POSITIONS and args.sq == "auto":
+        ap.error("positions-file mode needs an explicit --sq (the graph carries no header)")
+    gaf_to_sam(
+        args.GAF, args.GFA, args.POSITIONS, out=sys.stdout,
+        sq="hg38" if args.sq == "hg38" else None,
+        log=sys.stderr if args.debug else None,
+    )
+    return 0
+
+
 def _cmd_exp(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu exp")
     ap.add_argument("CONFIG", help="experiment config (JSON)")
@@ -374,6 +399,7 @@ _COMMANDS = {
     "prune": _cmd_prune,
     "reintroduce-paths": _cmd_reintroduce,
     "replicate": _cmd_replicate,
+    "gaf2sam": _cmd_gaf2sam,
     "exp": _cmd_exp,
     "sim": _cmd_sim,
     "eval": _cmd_eval,
@@ -389,6 +415,7 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     map         align reads to the spliced pangenome (GAF output)
     reduce      reduce a GFA to its transcript id-intervals (gene panels)
     replicate   fused GAF -> events (augment+call, no GFA round trip)
+    gaf2sam     project graph alignments to linear SAM records
     exp         run a full two-condition experiment from a JSON config
     sim         simulate AS-event reads with ground truth
     eval        score called events against simulation truth (P/R/F1)
