@@ -325,6 +325,31 @@ def _cmd_gaf2sam(argv):
     return 0
 
 
+def _cmd_timev(argv):
+    """Run a command under rusage timing, writing a ``time -v`` log."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu timev")
+    ap.add_argument("-o", dest="time_file", required=True, help="output .time file")
+    ap.add_argument("CMD", nargs=argparse.REMAINDER, help="command to run")
+    args = ap.parse_args(argv)
+    if not args.CMD:
+        ap.error("no command given")
+    cmd = args.CMD[1:] if args.CMD and args.CMD[0] == "--" else args.CMD
+    from pantas_tpu.eval.bench import run_timed
+
+    return run_timed(cmd, args.time_file)
+
+
+def _cmd_bench_table(argv):
+    """Fold a directory of .time logs into one bench CSV (compare_bench.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu bench-table")
+    ap.add_argument("BENCH_DIR")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.bench import collect
+
+    collect(args.BENCH_DIR, out=sys.stdout)
+    return 0
+
+
 def _cmd_exp(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu exp")
     ap.add_argument("CONFIG", help="experiment config (JSON)")
@@ -400,6 +425,8 @@ _COMMANDS = {
     "reintroduce-paths": _cmd_reintroduce,
     "replicate": _cmd_replicate,
     "gaf2sam": _cmd_gaf2sam,
+    "timev": _cmd_timev,
+    "bench-table": _cmd_bench_table,
     "exp": _cmd_exp,
     "sim": _cmd_sim,
     "eval": _cmd_eval,
