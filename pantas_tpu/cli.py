@@ -325,6 +325,46 @@ def _cmd_gaf2sam(argv):
     return 0
 
 
+def _cmd_check_coverage(argv):
+    """Count spliced-alignment support for skipped exons (check_coverage.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu check-coverage")
+    ap.add_argument("EVENTS", help="one skipped-exon region (chrom:start-end) per line")
+    ap.add_argument("GTF")
+    ap.add_argument("SAM", nargs="+", help="linear alignments (e.g. gaf2sam output)")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.support import check_skipping_support
+
+    check_skipping_support(args.EVENTS, args.GTF, args.SAM, out=sys.stdout)
+    return 0
+
+
+def _cmd_check_novel(argv):
+    """Classify skipped exons as novel vs annotated (check_novel.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu check-novel")
+    ap.add_argument("EVENTS", help="one skipped-exon region (chrom:start-end) per line")
+    ap.add_argument("GTF")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.support import classify_novel_skips
+
+    regions = {line.strip("\n") for line in open(args.EVENTS) if line.strip()}
+    for region, novel in sorted(classify_novel_skips(regions, args.GTF).items()):
+        print(region, novel)
+    return 0
+
+
+def _cmd_introns(argv):
+    """Fit the intron length distribution from a GTF (log-normal mixture)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu introns")
+    ap.add_argument("-g", "--gtf", required=True)
+    ap.add_argument("-o", "--out", required=True, help="where to save the model")
+    ap.add_argument("-l", "--label", default="transcript_id")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.introns import estimate
+
+    estimate(args.gtf, args.out, label=args.label)
+    return 0
+
+
 def _cmd_timev(argv):
     """Run a command under rusage timing, writing a ``time -v`` log."""
     ap = argparse.ArgumentParser(prog="pantas-tpu timev")
@@ -425,6 +465,9 @@ _COMMANDS = {
     "reintroduce-paths": _cmd_reintroduce,
     "replicate": _cmd_replicate,
     "gaf2sam": _cmd_gaf2sam,
+    "introns": _cmd_introns,
+    "check-coverage": _cmd_check_coverage,
+    "check-novel": _cmd_check_novel,
     "timev": _cmd_timev,
     "bench-table": _cmd_bench_table,
     "exp": _cmd_exp,
@@ -443,6 +486,11 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     reduce      reduce a GFA to its transcript id-intervals (gene panels)
     replicate   fused GAF -> events (augment+call, no GFA round trip)
     gaf2sam     project graph alignments to linear SAM records
+    introns     fit the intron length distribution from a GTF
+    check-coverage  count spliced support for skipped exons in SAM files
+    check-novel classify skipped exons as novel vs annotated
+    timev       run a command under rusage timing (time -v format log)
+    bench-table fold a directory of .time logs into one CSV
     exp         run a full two-condition experiment from a JSON config
     sim         simulate AS-event reads with ground truth
     eval        score called events against simulation truth (P/R/F1)
