@@ -325,6 +325,33 @@ def _cmd_gaf2sam(argv):
     return 0
 
 
+def _cmd_cmp(argv):
+    """Multi-tool accuracy comparison vs truth (cmp_pantas.py equivalent)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu cmp")
+    ap.add_argument("-t", dest="truth", required=True, help="truth CSV")
+    ap.add_argument("-p", dest="pantas", required=True, help="quant-remap CSV")
+    ap.add_argument("-r", dest="rmats", default=None, help="rMATS CSV")
+    ap.add_argument("-w", dest="whippet", default=None, help="Whippet psi file")
+    ap.add_argument("-s", dest="suppa", default=None, help="SUPPA2 CSV")
+    ap.add_argument("-c", dest="min_cov", type=int, default=5)
+    ap.add_argument("-d", dest="min_dpsi", type=float, default=0.05)
+    ap.add_argument("--supp", dest="supp", type=int, default=0)
+    ap.add_argument("--events", nargs="+", default=["ES", "A3", "A5", "IR"])
+    ap.add_argument("--novel", action="store_true")
+    ap.add_argument("--tabs", action="store_true")
+    ap.add_argument("--print", dest="print_flag", action="store_true")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.cmp_tools import compare_tools
+
+    compare_tools(
+        args.truth, args.pantas, args.rmats, args.whippet, args.suppa,
+        events=args.events, min_dpsi=args.min_dpsi, min_cov=args.min_cov,
+        novel=args.novel, supp=args.supp, tabs=args.tabs,
+        print_flag=args.print_flag,
+    )
+    return 0
+
+
 def _cmd_check_coverage(argv):
     """Count spliced-alignment support for skipped exons (check_coverage.py)."""
     ap = argparse.ArgumentParser(prog="pantas-tpu check-coverage")
@@ -466,6 +493,7 @@ _COMMANDS = {
     "replicate": _cmd_replicate,
     "gaf2sam": _cmd_gaf2sam,
     "introns": _cmd_introns,
+    "cmp": _cmd_cmp,
     "check-coverage": _cmd_check_coverage,
     "check-novel": _cmd_check_novel,
     "timev": _cmd_timev,
@@ -494,6 +522,7 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     exp         run a full two-condition experiment from a JSON config
     sim         simulate AS-event reads with ground truth
     eval        score called events against simulation truth (P/R/F1)
+    cmp         multi-tool accuracy comparison vs truth (pantas/rMATS/Whippet/SUPPA2)
     version     print the version
 """
 
