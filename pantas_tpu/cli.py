@@ -352,6 +352,32 @@ def _cmd_cmp(argv):
     return 0
 
 
+def _cmd_convert_rmats(argv):
+    """Convert an rMATS output dir to the comparator CSV (build_rmats.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu convert-rmats")
+    ap.add_argument("RMATS_DIR", help="directory with {SE,A3SS,A5SS,RI}.MATS.JC.txt")
+    ap.add_argument("-o", dest="out", required=True)
+    ap.add_argument("-p", dest="pvalue", type=float, default=0.05)
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.converters import rmats_to_csv
+
+    rmats_to_csv(args.RMATS_DIR, args.out, pvalue=args.pvalue)
+    return 0
+
+
+def _cmd_convert_suppa(argv):
+    """Convert a SUPPA2 .dpsi file to the comparator CSV (build_suppa.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu convert-suppa")
+    ap.add_argument("DPSI")
+    ap.add_argument("-o", dest="out", required=True)
+    ap.add_argument("-p", dest="pvalue", type=float, default=0.05)
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.converters import suppa_to_csv
+
+    suppa_to_csv(args.DPSI, args.out, pvalue=args.pvalue)
+    return 0
+
+
 def _cmd_check_coverage(argv):
     """Count spliced-alignment support for skipped exons (check_coverage.py)."""
     ap = argparse.ArgumentParser(prog="pantas-tpu check-coverage")
@@ -494,6 +520,8 @@ _COMMANDS = {
     "gaf2sam": _cmd_gaf2sam,
     "introns": _cmd_introns,
     "cmp": _cmd_cmp,
+    "convert-rmats": _cmd_convert_rmats,
+    "convert-suppa": _cmd_convert_suppa,
     "check-coverage": _cmd_check_coverage,
     "check-novel": _cmd_check_novel,
     "timev": _cmd_timev,
@@ -523,6 +551,8 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     sim         simulate AS-event reads with ground truth
     eval        score called events against simulation truth (P/R/F1)
     cmp         multi-tool accuracy comparison vs truth (pantas/rMATS/Whippet/SUPPA2)
+    convert-rmats   rMATS output dir -> comparator CSV
+    convert-suppa   SUPPA2 .dpsi -> comparator CSV
     version     print the version
 """
 
