@@ -108,6 +108,7 @@ class SplicingGraph:
         # caches (content-identical to on-the-fly construction; callers
         # never mutate returned sets)
         self._exon_sets: Dict[str, Set[str]] = {}
+        self._gene_exons: Dict[Tuple[str, frozenset], Set[str]] = {}
         self._jn_hts: Dict[Jct, Dict[str, Set[str]]] = {}
         self._empty: Set[str] = set()
         self._empty_j: Set[Jct] = set()
@@ -151,9 +152,11 @@ class SplicingGraph:
     @classmethod
     def from_gfa(cls, gfa_path: str) -> "SplicingGraph":
         g = cls()
+        # dispatch on the first byte: P/W lines (most of an augmented GFA's
+        # bytes) must not pay a strip/copy
         for line in open(gfa_path):
-            line = line.strip()
-            if line.startswith("S"):
+            c = line[0] if line else ""
+            if c == "S":
                 _, nid, seq, *fields = line.split()
                 info = SegInfo(length=len(seq))
                 for f in fields:
@@ -162,7 +165,7 @@ class SplicingGraph:
                     elif f.startswith("NC:"):
                         info.nc = int(f[5:])
                 g.seg[nid] = info
-            elif line.startswith("L"):
+            elif c == "L":
                 _, a, _, b, _, _, *fields = line.split()
                 li = LinkInfo()
                 for f in fields:
@@ -236,19 +239,21 @@ from functools import lru_cache
 
 @lru_cache(maxsize=1 << 20)
 def _split_ht(ht: str) -> Tuple[str, str]:
-    parts = ht.split("_")
-    return "_".join(parts[:-1]), parts[-1]
+    # rsplit form of the reference's "_".join(split[:-1]) / split[-1]
+    # (identical output for every input, incl. no-underscore strings)
+    head, sep, tail = ht.rpartition("_")
+    return (head, tail) if sep else ("", ht)
 
 
 @lru_cache(maxsize=1 << 20)
 def _exon_label_th(label: str) -> Tuple[str, str]:
-    return _split_ht(".".join(label.split(".")[:-1]))
+    return _split_ht(label.rpartition(".")[0])
 
 
 def hts_of_junction(labels: Sequence[str]) -> Dict[str, Set[str]]:
     out: Dict[str, Set[str]] = {}
     for lab in labels:
-        t, h = _split_ht(".".join(lab.split(".")[:-2]))
+        t, h = _split_ht(lab.rpartition(".")[0].rpartition(".")[0])
         out.setdefault(t, set()).add(h)
     return out
 
@@ -309,6 +314,18 @@ def _same_gene_exons(exons: Set[str], genes: Set[str], t2g) -> Set[str]:
     return set(e for e in exons if t2g[_exon_label_th(e)[0]] in genes)
 
 
+def _same_gene_exons_cached(g: SplicingGraph, nid: str, genes: Set[str], t2g) -> Set[str]:
+    """Per-(node, gene-set) cache of :func:`_same_gene_exons` — many
+    junctions share endpoints and gene, and the exon-label sets on hub
+    nodes are large. Callers never mutate the returned set."""
+    key = (nid, frozenset(genes))
+    cached = g._gene_exons.get(key)
+    if cached is None:
+        cached = _same_gene_exons(g.exset(nid), genes, t2g)
+        g._gene_exons[key] = cached
+    return cached
+
+
 def _call_annotated(
     g: SplicingGraph, t2g, genestrand, genechr, opts: CallOptions, log
 ) -> Iterator[str]:
@@ -324,8 +341,8 @@ def _call_annotated(
         if len(_genes) > 1:
             continue
         _gene = next(iter(_genes))
-        _exons1 = _same_gene_exons(g.exset(_j[0]), _genes, t2g)
-        _exons2 = _same_gene_exons(g.exset(_j[1]), _genes, t2g)
+        _exons1 = _same_gene_exons_cached(g, _j[0], _genes, t2g)
+        _exons2 = _same_gene_exons_cached(g, _j[1], _genes, t2g)
         assert len(_exons1) > 0 and len(_exons2) > 0
 
         Js1 = g.j_by_head.get(_j[0], g._empty_j) - set([_j])
@@ -744,8 +761,8 @@ def _call_novel(
             if len(_genes) > 1:
                 continue
             _gene = next(iter(_genes))
-            _exons0 = _same_gene_exons(g.exset(_j[0]), _genes, t2g)
-            _exons1 = _same_gene_exons(g.exset(_j[1]), _genes, t2g)
+            _exons0 = _same_gene_exons_cached(g, _j[0], _genes, t2g)
+            _exons1 = _same_gene_exons_cached(g, _j[1], _genes, t2g)
             assert len(_exons0) > 0 and len(_exons1) > 0
 
             Js1 = g.nj_by_head.get(_j[0], g._empty_j) - set([_j])
