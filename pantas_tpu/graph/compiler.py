@@ -69,13 +69,20 @@ def compile_gfa(gfa_path: str) -> GraphTensors:
 
     with open(gfa_path) as fh:
         for line in fh:
-            if line.startswith("S"):
-                t = line.split("\t", 3)
-                sid, seq = t[1], t[2].rstrip("\n")
+            c = line[0] if line else ""
+            if c == "S":
+                # manual field scan: S<TAB>id<TAB>seq<TAB>tags... — slicing
+                # out only id keeps the (large) tag payload uncopied
+                t1 = line.index("\t")
+                t2 = line.index("\t", t1 + 1)
+                t3 = line.find("\t", t2 + 1)
+                if t3 == -1:
+                    t3 = len(line) - 1 if line.endswith("\n") else len(line)
+                sid = line[t1 + 1 : t2]
                 index[sid] = len(names)
                 names.append(sid)
-                lens.append(len(seq))
-            elif line.startswith("L"):
+                lens.append(t3 - t2 - 1)
+            elif c == "L":
                 t = line.split("\t", 5)
                 edges.append((index[t[1]], index[t[3]]))
 

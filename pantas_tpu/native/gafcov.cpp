@@ -492,6 +492,10 @@ int64_t gafcov_process_file_mt(void *h, const char *path, int mapq_thr,
   char *data = (char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
   close(fd);
   if (data == MAP_FAILED) return -1;
+  // prefetch + batch the minor faults (165 MB at 4 KB/fault otherwise
+  // serializes ~40k faults into the parse threads)
+  madvise(data, size, MADV_SEQUENTIAL);
+  madvise(data, size, MADV_WILLNEED);
 
   if (n_threads < 1) n_threads = 1;
   std::vector<const char *> cut(n_threads + 1);
