@@ -100,6 +100,12 @@ def _cmd_call(argv):
     ap.add_argument("--minintronsize", "-l", dest="minintronsize", type=int, default=100)
     ap.add_argument("--junction", dest="junction", type=str, default=None)
     ap.add_argument("--debug", dest="debug", action="store_true")
+    # accepted for exps-workflow compatibility: 2-dm-real passes "--rc w"
+    # (rules/pantas.smk:99) but the reference's call.py has no such flag
+    # (its rc helper parameter is dead at every call site, call.py:72-82,
+    # 381-745) — a latent crash there, a documented no-op here
+    ap.add_argument("--rc", dest="rc_compat", type=int, default=None,
+                    help=argparse.SUPPRESS)
     ap.add_argument(
         "--engine",
         choices=["host", "device"],

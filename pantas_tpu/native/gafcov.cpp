@@ -817,4 +817,96 @@ void kidx_sort(uint64_t *kmers, int32_t *pids, int32_t *poss, int64_t n) {
   memcpy(poss, to.data(), n * sizeof(int32_t));
 }
 
+// ---- fast GFA structural scan (graph/compiler.py::compile_gfa backend) ----
+//
+// Extracts only what the tensor compiler needs — integer node ids, sequence
+// lengths, raw edge id pairs — in one mmap pass. Tags (EX/IL/OL/...) are
+// never touched. `ok` drops to 0 on a non-integer id, signalling the Python
+// caller to fall back to the general parser.
+
+namespace {
+struct GfaScan {
+  std::vector<int64_t> ids;
+  std::vector<int32_t> lens;
+  std::vector<int64_t> esrc, edst;
+  int ok = 1;
+};
+}  // namespace
+
+void *gfa_scan(const char *path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  GfaScan *G = new GfaScan();
+  if (st.st_size == 0) {
+    close(fd);
+    return G;
+  }
+  size_t size = st.st_size;
+  char *data = (char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (data == MAP_FAILED) {
+    delete G;
+    return nullptr;
+  }
+  madvise(data, size, MADV_SEQUENTIAL);
+  const char *p = data;
+  const char *end = data + size;
+  while (p < end) {
+    const char *nl = (const char *)memchr(p, '\n', end - p);
+    const char *le = nl ? nl : end;
+    if (le > p + 2 && p[1] == '\t') {
+      if (p[0] == 'S') {
+        // S \t id \t seq [\t tags...]
+        char *q;
+        int64_t id = strtoll(p + 2, &q, 10);
+        // leading zeros would not round-trip through str(int) in the caller
+        if (q == p + 2 || *q != '\t' || (p[2] == '0' && q > p + 3)) {
+          G->ok = 0;
+          break;
+        }
+        ++q;
+        const char *t = (const char *)memchr(q, '\t', le - q);
+        const char *seq_end = t ? t : le;
+        G->ids.push_back(id);
+        G->lens.push_back((int32_t)(seq_end - q));
+      } else if (p[0] == 'L') {
+        // L \t a \t +|- \t b ...
+        char *q;
+        int64_t a = strtoll(p + 2, &q, 10);
+        if (q == p + 2 || *q != '\t' || q + 2 >= le || q[2] != '\t' ||
+            (p[2] == '0' && q > p + 3)) {
+          G->ok = 0;
+          break;
+        }
+        char *r;
+        int64_t b = strtoll(q + 3, &r, 10);
+        if (r == q + 3 || (q[3] == '0' && r > q + 4)) {
+          G->ok = 0;
+          break;
+        }
+        G->esrc.push_back(a);
+        G->edst.push_back(b);
+      }
+    }
+    if (!nl) break;
+    p = nl + 1;
+  }
+  munmap(data, size);
+  return G;
+}
+
+int gfa_scan_ok(void *h) { return ((GfaScan *)h)->ok; }
+int64_t gfa_scan_n_nodes(void *h) { return ((GfaScan *)h)->ids.size(); }
+int64_t gfa_scan_n_edges(void *h) { return ((GfaScan *)h)->esrc.size(); }
+const int64_t *gfa_scan_ids(void *h) { return ((GfaScan *)h)->ids.data(); }
+const int32_t *gfa_scan_lens(void *h) { return ((GfaScan *)h)->lens.data(); }
+const int64_t *gfa_scan_esrc(void *h) { return ((GfaScan *)h)->esrc.data(); }
+const int64_t *gfa_scan_edst(void *h) { return ((GfaScan *)h)->edst.data(); }
+void gfa_scan_free(void *h) { delete (GfaScan *)h; }
+
 }  // extern "C"

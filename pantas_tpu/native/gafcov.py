@@ -115,8 +115,45 @@ def _load():
     lib.kidx_pack.argtypes = [ctypes.c_char_p, i64, ctypes.c_int, P(u64)]
     lib.kidx_sort.restype = None
     lib.kidx_sort.argtypes = [P(u64), P(i32), P(i32), i64]
+    lib.gfa_scan.restype = ctypes.c_void_p
+    lib.gfa_scan.argtypes = [ctypes.c_char_p]
+    lib.gfa_scan_ok.restype = ctypes.c_int
+    lib.gfa_scan_ok.argtypes = [ctypes.c_void_p]
+    for name in ("gfa_scan_n_nodes", "gfa_scan_n_edges"):
+        getattr(lib, name).restype = i64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    for name, ct in (
+        ("gfa_scan_ids", i64), ("gfa_scan_lens", i32),
+        ("gfa_scan_esrc", i64), ("gfa_scan_edst", i64),
+    ):
+        getattr(lib, name).restype = P(ct)
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.gfa_scan_free.restype = None
+    lib.gfa_scan_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def scan_gfa_structure(gfa_path: str):
+    """Native structural GFA scan: (ids, lens, edge_src_ids, edge_dst_ids)
+    as numpy arrays, or None if ids are not plain integers (caller falls
+    back to the general Python parser)."""
+    lib = _load()
+    h = lib.gfa_scan(str(gfa_path).encode())
+    if not h:
+        raise IOError(f"cannot scan {gfa_path}")
+    try:
+        if not lib.gfa_scan_ok(h):
+            return None
+        n = lib.gfa_scan_n_nodes(h)
+        e = lib.gfa_scan_n_edges(h)
+        ids = np.ctypeslib.as_array(lib.gfa_scan_ids(h), shape=(n,)).copy() if n else np.zeros(0, np.int64)
+        lens = np.ctypeslib.as_array(lib.gfa_scan_lens(h), shape=(n,)).copy() if n else np.zeros(0, np.int32)
+        esrc = np.ctypeslib.as_array(lib.gfa_scan_esrc(h), shape=(e,)).copy() if e else np.zeros(0, np.int64)
+        edst = np.ctypeslib.as_array(lib.gfa_scan_edst(h), shape=(e,)).copy() if e else np.zeros(0, np.int64)
+        return ids, lens, esrc, edst
+    finally:
+        lib.gfa_scan_free(h)
 
 
 def _ptr(arr: np.ndarray, ctype):

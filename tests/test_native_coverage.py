@@ -26,3 +26,23 @@ def test_native_matches_host_bytes(tmp_path, have_native):
     counts = native.augment_gfa_native(gaf, gfa, out=nat_buf, log=log2)
     assert nat_buf.getvalue() == host_buf.getvalue()
     assert counts.rejected == 1 and counts.skipped == 2 and counts.accepted == 12
+
+
+def test_native_gfa_scan_matches_python_compile(tmp_path, have_native):
+    import numpy as np
+
+    from pantas_tpu.graph.compiler import compile_gfa
+
+    gfa, _ = write_micro(tmp_path)
+    a = compile_gfa(gfa)
+    b = compile_gfa(gfa, engine="python")
+    assert a.node_names == b.node_names and a.node_index == b.node_index
+    for f in ("node_len", "edge_key", "edge_src", "edge_dst", "il_base", "ol_base"):
+        assert np.array_equal(getattr(a, f), getattr(b, f)), f
+    assert (a.rc_base, a.total_slots) == (b.rc_base, b.total_slots)
+
+    # non-canonical ids (leading zero) must fall back to the python parser
+    odd = tmp_path / "odd.gfa"
+    odd.write_text("S\t01\tACGT\nS\t2\tAC\nL\t01\t+\t2\t+\t*\n")
+    t = compile_gfa(str(odd))
+    assert t.node_names == ["01", "2"] and t.n_edges == 1
