@@ -173,14 +173,16 @@ def construct(
 
 
 def _wire_alt_tails(g: VariationGraph) -> None:
-    """Connect alternate-chain tails to following nodes.
+    """Connect alternate-chain tails to every node that can follow the site.
 
-    Besides the tail→next-ref edge (and deletion bypass), ADJACENT sites
-    (site j's reference span starting right after site i's) get
-    allele-to-allele edges so a haplotype choosing alternates at both sites
-    walks existing edges. Chained adjacent pure-deletion alleles are wired
-    one level deep (deeper chains are vanishingly rare for SNP-dominated
-    inputs and would fall back to ref at threading time).
+    A substituted path leaving a site must find an edge to whatever comes
+    next: the next reference node, an adjacent site's alternate heads, or —
+    through any run of adjacent pure-deletion (empty-alt) alleles —
+    whatever follows THAT run.  ``ENTRY(i)`` is the transitive closure of
+    "nodes a walk arriving at reference position i can step onto",
+    computed right-to-left so arbitrarily deep adjacent chains are wired
+    (anchored VCF indels never produce empty alts, but the synthetic /
+    simulator path can; see ``tests/test_graph_validity.py``).
     """
     pos_in_ref = {nid: i for i, nid in enumerate(g.ref_path)}
     head_at: Dict[int, Site] = {}
@@ -188,42 +190,37 @@ def _wire_alt_tails(g: VariationGraph) -> None:
         if site.ref_nodes:
             head_at[pos_in_ref[site.ref_nodes[0]]] = site
 
+    n = len(g.ref_path)
+    entry: Dict[int, Tuple[int, ...]] = {}
+    for idx in range(n - 1, -1, -1):
+        site = head_at.get(idx)
+        if site is None:
+            continue  # only site heads need a computed closure
+        out: List[int] = [g.ref_path[idx]]
+        for chain in site.alt_nodes.values():
+            if chain:
+                out.append(chain[0])
+            else:
+                after = pos_in_ref[site.ref_nodes[-1]] + 1
+                out.extend(entry.get(after, (g.ref_path[after],) if after < n else ()))
+        seen: Set[int] = set()
+        entry[idx] = tuple(x for x in out if not (x in seen or seen.add(x)))
+
     for site in g.sites:
         if not site.ref_nodes:
             continue
         tail_idx = pos_in_ref[site.ref_nodes[-1]]
-        nxt = g.ref_path[tail_idx + 1] if tail_idx + 1 < len(g.ref_path) else None
         head_idx = pos_in_ref[site.ref_nodes[0]]
         prev = g.ref_path[head_idx - 1] if head_idx > 0 else None
 
         # sources that can precede whatever follows this site: alt tails,
         # and (for pure-deletion alleles) the node before the site
-        tails = [c[-1] for c in site.alt_nodes.values() if c]
-        has_deletion = any(not c for c in site.alt_nodes.values())
+        sources = [c[-1] for c in site.alt_nodes.values() if c]
+        if any(not c for c in site.alt_nodes.values()) and prev is not None:
+            sources.append(prev)
 
-        for t in tails:
-            if nxt is not None:
-                g.add_edge(t, nxt)
-        if has_deletion and prev is not None and nxt is not None:
-            g.add_edge(prev, nxt)
-
-        # adjacent next site: wire sources to ITS alternate heads too
-        nxt_site = head_at.get(tail_idx + 1)
-        if nxt_site is not None:
-            heads = [c[0] for c in nxt_site.alt_nodes.values() if c]
-            for t in tails:
-                for h in heads:
-                    g.add_edge(t, h)
-            if has_deletion and prev is not None:
-                for h in heads:
-                    g.add_edge(prev, h)
-            if any(not c for c in nxt_site.alt_nodes.values()):
-                # deletion at the adjacent site: bypass from our sources to
-                # the ref node after it
-                nt = pos_in_ref[nxt_site.ref_nodes[-1]]
-                nn = g.ref_path[nt + 1] if nt + 1 < len(g.ref_path) else None
-                if nn is not None:
-                    for t in tails:
-                        g.add_edge(t, nn)
-                    if has_deletion and prev is not None:
-                        g.add_edge(prev, nn)
+        after = tail_idx + 1
+        targets = entry.get(after, (g.ref_path[after],) if after < n else ())
+        for s in sources:
+            for t in targets:
+                g.add_edge(s, t)

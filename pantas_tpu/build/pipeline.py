@@ -22,7 +22,7 @@ from pantas_tpu.build.annotate import annotate, write_annotated_gfa
 from pantas_tpu.build.construct import DEFAULT_MAX_NODE_LEN, accept_variants, construct
 from pantas_tpu.build.combine import combine_gfas
 from pantas_tpu.build.reduce import transcript_intervals
-from pantas_tpu.build.transcripts import project
+from pantas_tpu.build.transcripts import project, validate_paths
 from pantas_tpu.io.fasta import read_fasta
 from pantas_tpu.io.gtf import chromosomes, parse_transcript_models
 from pantas_tpu.io.vcf import read_vcf
@@ -57,6 +57,7 @@ def build_chromosome(
         prefiltered=True,
     )
     ptx = project(graph, models, accepted, samples, log=log)
+    validate_paths(ptx)
     ann = annotate(ptx, log=log)
 
     keep = None

@@ -87,6 +87,29 @@ def _substituted_path(
     return path
 
 
+def validate_paths(ptx: "Pantranscriptome") -> None:
+    """Invariant: every emitted path step traverses an existing L edge.
+
+    Guards the contract between construct's edge wiring and the path
+    substitution here — a violation means an emitted P/W line could not be
+    walked on the graph (the class of bug ``vg construct`` prevents by
+    building paths and edges together).
+    """
+    g = ptx.graph
+    edges = g.edges
+
+    def chk(name: str, path: Sequence[int]) -> None:
+        for a, b in zip(path, path[1:]):
+            if (a, b) not in edges:
+                raise AssertionError(
+                    f"path {name!r} steps over nonexistent edge {a}->{b}"
+                )
+
+    chk(g.chrom, g.ref_path)
+    for c in ptx.copies:
+        chk(c.name, c.path)
+
+
 def build_allele_matrix(
     variants: Sequence[VcfVariant],
 ) -> Tuple[List[str], np.ndarray]:
