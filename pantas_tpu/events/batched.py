@@ -79,7 +79,7 @@ def find_annotated_es(
     j_tsets: List[Set[int]] = []
     j_gene: List[object] = []
     for j in junctions:
-        hts = graph.jn_hts(j)
+        hts = graph.jn_keys(j)
         j_tsets.append({t_id(t) for t in hts})
         genes = _genes_of_hts(hts, t2g)
         j_gene.append(next(iter(genes)) if len(genes) == 1 else None)
@@ -100,8 +100,8 @@ def find_annotated_es(
             continue
         Js1 = graph.j_by_head.get(J[0], graph._empty_j) - {J}
         Js2 = graph.j_by_tail.get(J[1], graph._empty_j) - {J}
-        Js1 = {x for x in Js1 if gene in _genes_of_hts(graph.jn_hts(x), t2g)}
-        Js2 = {x for x in Js2 if gene in _genes_of_hts(graph.jn_hts(x), t2g)}
+        Js1 = {x for x in Js1 if gene in _genes_of_hts(graph.jn_keys(x), t2g)}
+        Js2 = {x for x in Js2 if gene in _genes_of_hts(graph.jn_keys(x), t2g)}
         if not Js1 or not Js2:
             continue
         if J not in filt_cache:
@@ -184,7 +184,7 @@ def find_annotated_ss(
     j_gene: List[object] = []
     j_htkeys: List[Set[str]] = []
     for j in junctions:
-        hts = graph.jn_hts(j)
+        hts = graph.jn_keys(j)
         genes = _genes_of_hts(hts, t2g)
         j_gene.append(next(iter(genes)) if len(genes) == 1 else None)
         j_htkeys.append(set(hts))
@@ -218,8 +218,8 @@ def find_annotated_ss(
             continue
         Js1 = graph.j_by_head.get(J[0], graph._empty_j) - {J}
         Js2 = graph.j_by_tail.get(J[1], graph._empty_j) - {J}
-        Js1 = {x for x in Js1 if gene in _genes_of_hts(graph.jn_hts(x), t2g)}
-        Js2 = {x for x in Js2 if gene in _genes_of_hts(graph.jn_hts(x), t2g)}
+        Js1 = {x for x in Js1 if gene in _genes_of_hts(graph.jn_keys(x), t2g)}
+        Js2 = {x for x in Js2 if gene in _genes_of_hts(graph.jn_keys(x), t2g)}
         strand = genestrand[gene]
 
         exons1 = {
@@ -342,9 +342,9 @@ def call_events_device(
     if not opts.no_annotated and not annotated_filtered:
         if "ES" in opts.events:
             for J, j1, j2 in sorted(find_annotated_es(graph, t2g, rca=opts.rca)):
-                _ht = graph.jn_hts(J)
+                _ht = graph.jn_keys(J)
                 inclusion = (
-                    set(graph.jn_hts(j1)) & set(graph.jn_hts(j2))
+                    set(graph.jn_keys(j1)) & set(graph.jn_keys(j2))
                 ) - set(_ht)
                 gene = next(iter(_genes_of_hts(_ht, t2g)))
                 yield _row(
@@ -372,7 +372,7 @@ def call_events_device(
         if "SS" in opts.events:
             hits = find_annotated_ss(graph, t2g, genestrand, rca=opts.rca)
             for (etype, J, jo), count in sorted(hits.items()):
-                gene = next(iter(_genes_of_hts(graph.jn_hts(J), t2g)))
+                gene = next(iter(_genes_of_hts(graph.jn_keys(J), t2g)))
                 row = _row(
                     etype,
                     "annotated",

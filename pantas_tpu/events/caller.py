@@ -108,8 +108,8 @@ class SplicingGraph:
         # caches (content-identical to on-the-fly construction; callers
         # never mutate returned sets)
         self._exon_sets: Dict[str, Set[str]] = {}
-        self._gene_exons: Dict[Tuple[str, frozenset], Set[str]] = {}
-        self._jn_hts: Dict[Jct, Dict[str, Set[str]]] = {}
+        self._node_gene_labels: Dict[str, Dict[str, Set[str]]] = {}
+        self._jn_keys: Dict[Jct, Set[str]] = {}
         self._empty: Set[str] = set()
         self._empty_j: Set[Jct] = set()
         # junction endpoint indexes (replace the reference's O(J) scans at
@@ -152,40 +152,60 @@ class SplicingGraph:
     @classmethod
     def from_gfa(cls, gfa_path: str) -> "SplicingGraph":
         g = cls()
+        seg = g.seg
+        link = g.link
         # dispatch on the first byte: P/W lines (most of an augmented GFA's
-        # bytes) must not pay a strip/copy
+        # bytes) must not pay a strip/copy. S/L lines are parsed with
+        # C-speed find() field extraction instead of a full split — the
+        # sequence and the (never-consumed) IL/OL tag strings are never
+        # materialized, only their spans measured.
         for line in open(gfa_path):
             c = line[0] if line else ""
             if c == "S":
-                _, nid, seq, *fields = line.split()
-                info = SegInfo(length=len(seq))
-                for f in fields:
-                    if f.startswith("EX:"):
-                        info.ex_raw = f[5:]
-                    elif f.startswith("NC:"):
-                        info.nc = int(f[5:])
-                g.seg[nid] = info
+                nl = len(line) - 1 if line[-1] == "\n" else len(line)
+                i1 = line.index("\t", 2)  # after nid
+                i2 = line.find("\t", i1 + 1)  # after seq (-1: no tags)
+                if i2 == -1 or i2 > nl:
+                    i2 = nl
+                info = SegInfo(length=i2 - i1 - 1)
+                p = line.find("\tNC:i:", i2 - 1, nl)
+                if p != -1:
+                    e = line.find("\t", p + 6, nl)
+                    info.nc = int(line[p + 6 : e if e != -1 else nl])
+                p = line.find("\tEX:Z:", i2 - 1, nl)
+                if p != -1:
+                    e = line.find("\t", p + 6, nl)
+                    info.ex_raw = line[p + 6 : e if e != -1 else nl]
+                seg[line[2:i1]] = info
             elif c == "L":
-                _, a, _, b, _, _, *fields = line.split()
+                nl = len(line) - 1 if line[-1] == "\n" else len(line)
+                i1 = line.index("\t", 2)  # after a
+                a = line[2:i1]
+                i2 = line.index("\t", i1 + 1)  # after orient1
+                i3 = line.index("\t", i2 + 1)  # after b
+                b = line[i2 + 1 : i3]
                 li = LinkInfo()
-                for f in fields:
-                    if f.startswith("RC:"):
-                        li.rc = int(f[5:])
-                    elif f.startswith("JN:"):
-                        li.jn_raw = f[5:]
-                    elif f.startswith("ID:"):
-                        li.novel = True
-                g.link[(a, b)] = li
-                g.seg[a].outgoing.append(b)
-                g.seg[b].incoming.append(a)
+                p = line.find("\tRC:i:", i3, nl)
+                if p != -1:
+                    e = line.find("\t", p + 6, nl)
+                    li.rc = int(line[p + 6 : e if e != -1 else nl])
+                p = line.find("\tJN:Z:", i3, nl)
+                if p != -1:
+                    e = line.find("\t", p + 6, nl)
+                    li.jn_raw = line[p + 6 : e if e != -1 else nl]
+                li.novel = line.find("\tID:Z:", i3, nl) != -1
+                pair = (a, b)
+                link[pair] = li
+                seg[a].outgoing.append(b)
+                seg[b].incoming.append(a)
                 if li.jn_raw:
-                    g.junctions.add((a, b))
-                    g.j_by_head.setdefault(a, set()).add((a, b))
-                    g.j_by_tail.setdefault(b, set()).add((a, b))
+                    g.junctions.add(pair)
+                    g.j_by_head.setdefault(a, set()).add(pair)
+                    g.j_by_tail.setdefault(b, set()).add(pair)
                 if li.novel:
-                    g.novel_junctions.add((a, b))
-                    g.nj_by_head.setdefault(a, set()).add((a, b))
-                    g.nj_by_tail.setdefault(b, set()).add((a, b))
+                    g.novel_junctions.add(pair)
+                    g.nj_by_head.setdefault(a, set()).add(pair)
+                    g.nj_by_tail.setdefault(b, set()).add(pair)
         return g
 
     # --- small accessors matching reference helper semantics ---
@@ -202,12 +222,21 @@ class SplicingGraph:
         self._exon_sets[nid] = s
         return s
 
-    def jn_hts(self, j: Jct) -> Dict[str, Set[str]]:
-        """hts_of_junction of a link's JN labels (cached)."""
-        cached = self._jn_hts.get(j)
+    def jn_keys(self, j: Jct) -> Set[str]:
+        """Transcript keys of a link's JN labels (cached).
+
+        The reference builds a transcript->haplotype-set dict here
+        (``call.py:106-121``) but every downstream consumer uses only its
+        KEYS (set algebra / membership / iteration) — verified across
+        ``call.py``; the haplotype values are never read. A plain key set
+        is content-identical for every row emitted."""
+        cached = self._jn_keys.get(j)
         if cached is None:
-            cached = hts_of_junction(self.link[j].jn)
-            self._jn_hts[j] = cached
+            cached = {
+                _split_ht(lab.rpartition(".")[0].rpartition(".")[0])[0]
+                for lab in self.link[j].jn
+            }
+            self._jn_keys[j] = cached
         return cached
 
     def nc(self, nid: str) -> int:
@@ -250,25 +279,14 @@ def _exon_label_th(label: str) -> Tuple[str, str]:
     return _split_ht(label.rpartition(".")[0])
 
 
-def hts_of_junction(labels: Sequence[str]) -> Dict[str, Set[str]]:
-    out: Dict[str, Set[str]] = {}
-    for lab in labels:
-        t, h = _split_ht(lab.rpartition(".")[0].rpartition(".")[0])
-        out.setdefault(t, set()).add(h)
-    return out
+def tkeys_of_exons(labels) -> Set[str]:
+    """Transcript keys of exon labels.
 
-
-def hts_of_exon(label: str) -> Dict[str, Set[str]]:
-    t, h = _exon_label_th(label)
-    return {t: {h}}
-
-
-def hts_of_exons(labels) -> Dict[str, Set[str]]:
-    out: Dict[str, Set[str]] = {}
-    for lab in labels:
-        t, h = _exon_label_th(lab)
-        out.setdefault(t, set()).add(h)
-    return out
+    The reference builds transcript->haplotype-set dicts from exon labels
+    (``call.py:113-121``) but consumes only the keys everywhere (set
+    algebra, ``t2g`` lookups, membership) — the haplotype values are never
+    read. A key set is content-identical for every emitted row."""
+    return {_exon_label_th(lab)[0] for lab in labels}
 
 
 def transcript_of_label(label: str) -> str:
@@ -304,26 +322,43 @@ def call_events(
         yield from _call_novel(graph, t2g, genestrand, genechr, opts, log)
 
 
-def _genes_of_hts(hts: Dict[str, Set[str]], t2g: Dict[str, str]) -> Set[str]:
+def _genes_of_hts(hts, t2g: Dict[str, str]) -> Set[str]:
     return set(t2g[t] for t in hts)
 
 
-def _same_gene_exons(exons: Set[str], genes: Set[str], t2g) -> Set[str]:
-    # an exon label names exactly one transcript, so its gene set is the
-    # singleton {t2g[t]} — same KeyError semantics as the reference
-    return set(e for e in exons if t2g[_exon_label_th(e)[0]] in genes)
+def _node_gene_labels(g: SplicingGraph, nid: str, t2g) -> Dict[str, Set[str]]:
+    """Node's exon labels grouped by gene (cached once per node).
+
+    Same KeyError semantics as the reference's per-junction scan
+    (``call.py:251-257`` filters every label through ``t2g``); grouping
+    once per node replaces the per-(junction, gene) rescans."""
+    cached = g._node_gene_labels.get(nid)
+    if cached is None:
+        cached = {}
+        for e in g.exset(nid):
+            gg = t2g[_exon_label_th(e)[0]]
+            s = cached.get(gg)
+            if s is None:
+                cached[gg] = {e}
+            else:
+                s.add(e)
+        g._node_gene_labels[nid] = cached
+    return cached
 
 
 def _same_gene_exons_cached(g: SplicingGraph, nid: str, genes: Set[str], t2g) -> Set[str]:
-    """Per-(node, gene-set) cache of :func:`_same_gene_exons` — many
-    junctions share endpoints and gene, and the exon-label sets on hub
-    nodes are large. Callers never mutate the returned set."""
-    key = (nid, frozenset(genes))
-    cached = g._gene_exons.get(key)
-    if cached is None:
-        cached = _same_gene_exons(g.exset(nid), genes, t2g)
-        g._gene_exons[key] = cached
-    return cached
+    """Gene-filtered exon-label set of a node (content-identical to the
+    reference's per-junction filter). Callers never mutate the result."""
+    by_gene = g._node_gene_labels.get(nid)
+    if by_gene is None:
+        by_gene = _node_gene_labels(g, nid, t2g)
+    if len(genes) == 1:
+        (gene,) = genes
+        return by_gene.get(gene, g._empty)
+    out: Set[str] = set()
+    for gg in genes:
+        out |= by_gene.get(gg, g._empty)
+    return out
 
 
 def _call_annotated(
@@ -336,7 +371,7 @@ def _call_annotated(
         if g.rc(_j) < opts.rca:
             continue
         jn = g.link[_j].jn
-        _ht = g.jn_hts(_j)
+        _ht = g.jn_keys(_j)
         _genes = _genes_of_hts(_ht, t2g)
         if len(_genes) > 1:
             continue
@@ -350,12 +385,12 @@ def _call_annotated(
         Js1 = set(
             x
             for x in Js1
-            if len(_genes & _genes_of_hts(g.jn_hts(x), t2g)) > 0
+            if len(_genes & _genes_of_hts(g.jn_keys(x), t2g)) > 0
         )
         Js2 = set(
             x
             for x in Js2
-            if len(_genes & _genes_of_hts(g.jn_hts(x), t2g)) > 0
+            if len(_genes & _genes_of_hts(g.jn_keys(x), t2g)) > 0
         )
 
         strand = genestrand[_gene]
@@ -363,8 +398,8 @@ def _call_annotated(
 
         if "ES" in opts.events:
             for j1, j2 in product(Js1, Js2):
-                ht1 = g.jn_hts(j1)
-                ht2 = g.jn_hts(j2)
+                ht1 = g.jn_keys(j1)
+                ht2 = g.jn_keys(j2)
                 inclusion = (set(ht1) & set(ht2)) - set(_ht)
                 if not inclusion:
                     continue
@@ -407,7 +442,7 @@ def _call_annotated(
                         j2_exons = g.exset(j2[0]) & exons
                         if not j2_exons:
                             continue
-                        ht = hts_of_exons(j2_exons)
+                        ht = tkeys_of_exons(j2_exons)
                         if len(set(ht) - set(_ht)) == 0:
                             continue
                         assert len(set(jn) & set(g.link[j2].jn)) == 0
@@ -441,7 +476,7 @@ def _call_annotated(
                         j1_exons = g.exset(j1[1]) & exons
                         if not j1_exons:
                             continue
-                        ht = hts_of_exons(j1_exons)
+                        ht = tkeys_of_exons(j1_exons)
                         if len(set(ht) - set(_ht)) == 0:
                             continue
                         yield _row(
@@ -487,7 +522,7 @@ def _call_annotated(
                     assert nn != "-1", "Error while reconstructing IR path"
                     subpath.append(nn)
                     n = nn
-                retained = hts_of_exons(i_exons)
+                retained = tkeys_of_exons(i_exons)
                 break
 
             if retained:
@@ -528,8 +563,8 @@ def _call_novel(
         _exons1 = g.exset(_j[1])
         if len(_exons0) == 0 and len(_exons1) == 0:
             continue
-        _ht0 = hts_of_exons(_exons0)
-        _ht1 = hts_of_exons(_exons1)
+        _ht0 = tkeys_of_exons(_exons0)
+        _ht1 = tkeys_of_exons(_exons1)
         cap = set(_ht0) & set(_ht1)
         _next0 = g.out(_j[0])
         _prev1 = g.inc(_j[1])
@@ -542,8 +577,8 @@ def _call_novel(
                     for n, q in product(nodes1, nodes2):
                         j1 = (_j[0], n)
                         j2 = (q, _j[1])
-                        nht = g.jn_hts(j1)
-                        pht = g.jn_hts(j2)
+                        nht = g.jn_keys(j1)
+                        pht = g.jn_keys(j2)
                         inclusion = set(nht) & set(pht)
                         if not inclusion:
                             continue
@@ -592,7 +627,7 @@ def _call_novel(
                         exons_n = g.exset(n) & spliced_exons
                         if not exons_n:
                             continue
-                        ht_n = hts_of_exons(exons_n)
+                        ht_n = tkeys_of_exons(exons_n)
                         if (_j[0], n) in g.junctions and set(ht_n) & cap:
                             annotated_js.append([(_j[0], n), set(ht_n) & cap])
                     for j1, transcripts in annotated_js:
@@ -632,7 +667,7 @@ def _call_novel(
                         exons_p = g.exset(p) & spliced_exons
                         if not exons_p:
                             continue
-                        ht_p = hts_of_exons(exons_p)
+                        ht_p = tkeys_of_exons(exons_p)
                         if (p, _j[1]) in g.junctions and set(ht_p) & cap:
                             annotated_js.append([(p, _j[1]), set(ht_p) & cap])
                     for j1, transcripts in annotated_js:
@@ -663,7 +698,7 @@ def _call_novel(
                 found = _frontier_search(g, _j[1], exonic_next, opts.isw, forward=True)
                 if found is not None:
                     j1 = (_j[0], found)
-                    _genes = _genes_of_hts(g.jn_hts(j1), t2g)
+                    _genes = _genes_of_hts(g.jn_keys(j1), t2g)
                     if len(_genes) > 1:
                         print("Skipping SS due to multiple genes", file=log)
                     else:
@@ -689,7 +724,7 @@ def _call_novel(
                 found = _frontier_search(g, _j[0], exonic_prev, opts.isw, forward=False)
                 if found is not None:
                     j1 = (found, _j[1])
-                    _genes = _genes_of_hts(g.jn_hts(j1), t2g)
+                    _genes = _genes_of_hts(g.jn_keys(j1), t2g)
                     if len(_genes) > 1:
                         print("Skipping SS due to multiple genes", file=log)
                     else:
@@ -724,7 +759,7 @@ def _call_novel(
                         assert nn != "-1", "Error while reconstructing novel IR path"
                         subpath.append(nn)
                     if sum(g.seg[x].length for x in subpath) >= opts.minintronsize:
-                        retained = hts_of_exons(exons)
+                        retained = tkeys_of_exons(exons)
                         _genes = set(t2g[t] for t in retained)
                         if len(_genes) > 1:
                             print("Skipping novel IR due to multiple genes", file=log)
@@ -750,13 +785,15 @@ def _call_novel(
 
     if "IR" in events or "ES" in events:
         # second pass over ANNOTATED junctions: novel CE and novel IR-2
+        ir2_head_cache: Dict[Tuple[str, str], List[str]] = {}
+        ir2_tail_cache: Dict[Tuple[str, str], Dict[str, List[str]]] = {}
         for _j in g.junctions:
             if opts.junction is not None and f"{_j[0]}-{_j[1]}" != opts.junction:
                 continue
             if g.rc(_j) < opts.rca:
                 continue
             jn = g.link[_j].jn
-            _ht = g.jn_hts(_j)
+            _ht = g.jn_keys(_j)
             _genes = _genes_of_hts(_ht, t2g)
             if len(_genes) > 1:
                 continue
@@ -808,27 +845,40 @@ def _call_novel(
                 )
                 if head_ok and tail_ok:
                     # "e continues on no successor/predecessor" == absence
-                    # from the union of their exon sets
-                    out_union: Set[str] = set()
-                    for x in g.out(_j[0]):
-                        out_union |= g.exset(x)
-                    inc_union: Set[str] = set()
-                    for x in g.inc(_j[1]):
-                        inc_union |= g.exset(x)
-                    exons0_end = [e for e in _exons0 if e not in out_union]
-                    exons1_start = [e for e in _exons1 if e not in inc_union]
-                    # pair condition "share a haplotype-aware transcript" is
-                    # just label-transcript equality (exon labels name one
-                    # transcript each); group to avoid the full product
-                    by_t: Dict[str, List[str]] = {}
-                    for e1x in exons1_start:
-                        by_t.setdefault(_exon_label_th(e1x)[0], []).append(e1x)
-                    exon_pairs = [
-                        (e0, e1)
-                        for e0 in exons0_end
-                        for e1 in by_t.get(_exon_label_th(e0)[0], ())
-                    ]
-                    if exon_pairs:
+                    # from the union of their exon sets. Both sides depend
+                    # only on (endpoint node, gene): cache per side — the
+                    # cached lists preserve the set-iteration order the
+                    # uncached scan would produce (same set object).
+                    key0 = (_j[0], _gene)
+                    exons0_end = ir2_head_cache.get(key0)
+                    if exons0_end is None:
+                        out_union: Set[str] = set()
+                        for x in g.out(_j[0]):
+                            out_union |= g.exset(x)
+                        exons0_end = [e for e in _exons0 if e not in out_union]
+                        ir2_head_cache[key0] = exons0_end
+                    key1 = (_j[1], _gene)
+                    tail_suf = ir2_tail_cache.get(key1)
+                    if tail_suf is None:
+                        inc_union: Set[str] = set()
+                        for x in g.inc(_j[1]):
+                            inc_union |= g.exset(x)
+                        exons1_start = [e for e in _exons1 if e not in inc_union]
+                        # pair condition "share a haplotype-aware transcript"
+                        # is label-transcript equality (labels name exactly
+                        # one transcript); group by transcript and keep only
+                        # the exon-number suffixes the jann field needs
+                        # (`e2.split(".")[-1]`, reference call.py:1060-1067)
+                        tail_suf = {}
+                        for e1x in exons1_start:
+                            tail_suf.setdefault(_exon_label_th(e1x)[0], []).append(
+                                "." + e1x.rsplit(".", 1)[-1]
+                            )
+                        ir2_tail_cache[key1] = tail_suf
+                    has_pairs = any(
+                        _exon_label_th(e0)[0] in tail_suf for e0 in exons0_end
+                    )
+                    if has_pairs:
                         subpath = [_j[0]]
                         dead_end = False
                         while subpath[-1] != _j[1]:
@@ -861,14 +911,20 @@ def _call_novel(
                             sum(g.seg[x].length for x in subpath[1:-1])
                             >= opts.minintronsize
                         ):
-                            retained = hts_of_exons([ep[0] for ep in exon_pairs])
+                            retained = {
+                                t
+                                for t in (_exon_label_th(e0)[0] for e0 in exons0_end)
+                                if t in tail_suf
+                            }
                             _genes = set(t2g[t] for t in retained)
                             if len(_genes) > 1:
                                 print("Skipping novel IR due to multiple genes", file=log)
                             else:
                                 _gene = next(iter(_genes))
                                 jann = "|".join(
-                                    e1 + "." + e2.split(".")[-1] for e1, e2 in exon_pairs
+                                    e0 + s
+                                    for e0 in exons0_end
+                                    for s in tail_suf.get(_exon_label_th(e0)[0], ())
                                 )
                                 cov = ceil(
                                     sum(g.nc(x) for x in subpath) / len(subpath)
