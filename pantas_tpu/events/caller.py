@@ -151,6 +151,36 @@ class SplicingGraph:
 
     @classmethod
     def from_gfa(cls, gfa_path: str) -> "SplicingGraph":
+        """Parse an (augmented) GFA; native C loader when available.
+
+        The native path builds identical structures (content, insertion
+        order, interpreter string hashing — so downstream hash-order
+        effects match the pure-Python parse within a process seed); see
+        ``native/gfaload.cpp``. Validated by ``tests/test_native_gfaload``.
+        """
+        try:
+            from pantas_tpu.native.gfaload import get_module
+
+            ext = get_module()
+        except Exception:
+            ext = None
+        if ext is not None:
+            g = cls()
+            (
+                g.seg,
+                g.link,
+                g.junctions,
+                g.novel_junctions,
+                g.j_by_head,
+                g.j_by_tail,
+                g.nj_by_head,
+                g.nj_by_tail,
+            ) = ext.load(gfa_path)
+            return g
+        return cls._from_gfa_py(gfa_path)
+
+    @classmethod
+    def _from_gfa_py(cls, gfa_path: str) -> "SplicingGraph":
         g = cls()
         seg = g.seg
         link = g.link

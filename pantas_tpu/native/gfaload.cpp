@@ -1,0 +1,507 @@
+// Native GFA -> SplicingGraph loader (CPython extension).
+//
+// Parses an (augmented) annotated GFA and builds the exact structures the
+// pure-Python SplicingGraph.from_gfa builds (behavioral contract:
+// /root/reference/scripts/call.py:132-181): a seg dict, a link dict keyed
+// by (a, b) string tuples, the annotated/novel junction sets, and the four
+// endpoint indexes. Records are indexed with the GIL released (mmap +
+// memchr scan), then Python objects are built in one C pass. Seg/Link are
+// C types with the same attribute protocol as the Python SegInfo/LinkInfo
+// classes, so every caller-side consumer works unchanged.
+//
+// Set/dict iteration-order parity: contents and insertion order match the
+// Python parser exactly, and string hashing is the host interpreter's
+// (PYTHONHASHSEED-respecting) siphash, so downstream hash-order-dependent
+// row content (reference call.py:240,531 semantics) is identical to the
+// pure-Python loader's within the same process seed.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <structmember.h>
+
+#include <cstring>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// Seg type (attribute-compatible with events.caller.SegInfo)
+// ---------------------------------------------------------------------------
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *ex_raw;    // str or None
+    PyObject *nc;        // int or None
+    PyObject *incoming;  // list[str]
+    PyObject *outgoing;  // list[str]
+    long length;
+} SegObj;
+
+static void Seg_dealloc(SegObj *self) {
+    Py_XDECREF(self->ex_raw);
+    Py_XDECREF(self->nc);
+    Py_XDECREF(self->incoming);
+    Py_XDECREF(self->outgoing);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyObject *Seg_new(PyTypeObject *type, PyObject *, PyObject *) {
+    SegObj *self = (SegObj *)type->tp_alloc(type, 0);
+    if (!self) return NULL;
+    Py_INCREF(Py_None);
+    self->ex_raw = Py_None;
+    Py_INCREF(Py_None);
+    self->nc = Py_None;
+    self->length = 0;
+    self->incoming = PyList_New(0);
+    self->outgoing = PyList_New(0);
+    if (!self->incoming || !self->outgoing) {
+        Py_DECREF(self);
+        return NULL;
+    }
+    return (PyObject *)self;
+}
+
+static int Seg_init(SegObj *self, PyObject *args, PyObject *kwds) {
+    static const char *kwlist[] = {"length", NULL};
+    long length = 0;
+    if (!PyArg_ParseTupleAndKeywords(args, kwds, "|l", (char **)kwlist, &length))
+        return -1;
+    self->length = length;
+    return 0;
+}
+
+static PyMemberDef Seg_members[] = {
+    {"ex_raw", T_OBJECT, offsetof(SegObj, ex_raw), 0, NULL},
+    {"nc", T_OBJECT, offsetof(SegObj, nc), 0, NULL},
+    {"incoming", T_OBJECT, offsetof(SegObj, incoming), 0, NULL},
+    {"outgoing", T_OBJECT, offsetof(SegObj, outgoing), 0, NULL},
+    {"length", T_LONG, offsetof(SegObj, length), 0, NULL},
+    {NULL, 0, 0, 0, NULL},
+};
+
+static PyTypeObject SegType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+};
+
+// ---------------------------------------------------------------------------
+// Link type (attribute-compatible with events.caller.LinkInfo, incl. the
+// lazily-split `jn` label-list property)
+// ---------------------------------------------------------------------------
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *rc;      // int or None
+    PyObject *jn_raw;  // str or None
+    PyObject *novel;   // bool
+    PyObject *jn_list; // cached list or NULL
+} LinkObj;
+
+static void Link_dealloc(LinkObj *self) {
+    Py_XDECREF(self->rc);
+    Py_XDECREF(self->jn_raw);
+    Py_XDECREF(self->novel);
+    Py_XDECREF(self->jn_list);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyObject *Link_new(PyTypeObject *type, PyObject *, PyObject *) {
+    LinkObj *self = (LinkObj *)type->tp_alloc(type, 0);
+    if (!self) return NULL;
+    Py_INCREF(Py_None);
+    self->rc = Py_None;
+    Py_INCREF(Py_None);
+    self->jn_raw = Py_None;
+    Py_INCREF(Py_False);
+    self->novel = Py_False;
+    self->jn_list = NULL;
+    return (PyObject *)self;
+}
+
+static int Link_init(LinkObj *self, PyObject *args, PyObject *kwds) {
+    static const char *kwlist[] = {"rc", "novel", NULL};
+    PyObject *rc = Py_None, *novel = Py_False;
+    if (!PyArg_ParseTupleAndKeywords(args, kwds, "|OO", (char **)kwlist, &rc, &novel))
+        return -1;
+    Py_INCREF(rc);
+    Py_SETREF(self->rc, rc);
+    Py_INCREF(novel);
+    Py_SETREF(self->novel, novel);
+    return 0;
+}
+
+static PyObject *Link_get_jn(LinkObj *self, void *) {
+    if (!self->jn_list) {
+        if (self->jn_raw != Py_None && PyUnicode_GET_LENGTH(self->jn_raw) > 0) {
+            PyObject *comma = PyUnicode_FromStringAndSize(",", 1);
+            if (!comma) return NULL;
+            self->jn_list = PyUnicode_Split(self->jn_raw, comma, -1);
+            Py_DECREF(comma);
+        } else {
+            self->jn_list = PyList_New(0);
+        }
+        if (!self->jn_list) return NULL;
+    }
+    Py_INCREF(self->jn_list);
+    return self->jn_list;
+}
+
+static PyGetSetDef Link_getset[] = {
+    {"jn", (getter)Link_get_jn, NULL, NULL, NULL},
+    {NULL, NULL, NULL, NULL, NULL},
+};
+
+static PyMemberDef Link_members[] = {
+    {"rc", T_OBJECT, offsetof(LinkObj, rc), 0, NULL},
+    {"jn_raw", T_OBJECT, offsetof(LinkObj, jn_raw), 0, NULL},
+    {"novel", T_OBJECT, offsetof(LinkObj, novel), 0, NULL},
+    {NULL, 0, 0, 0, NULL},
+};
+
+static PyTypeObject LinkType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+};
+
+// ---------------------------------------------------------------------------
+// Record index (phase 1, GIL released)
+// ---------------------------------------------------------------------------
+
+struct SRec {
+    const char *nid;
+    int nid_len;
+    long seqlen;
+    long nc;  // -1 = absent
+    const char *ex;
+    long ex_len;  // -1 = absent
+};
+
+struct LRec {
+    const char *a;
+    int a_len;
+    const char *b;
+    int b_len;
+    long rc;  // -1 = absent
+    const char *jn;
+    long jn_len;  // -1 = absent
+    bool novel;
+};
+
+static inline const char *next_tab(const char *p, const char *end) {
+    const char *t = (const char *)memchr(p, '\t', end - p);
+    return t ? t : end;
+}
+
+static inline long parse_long(const char *p, const char *end) {
+    long v = 0;
+    bool neg = false;
+    if (p < end && *p == '-') {
+        neg = true;
+        ++p;
+    }
+    while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+    return neg ? -v : v;
+}
+
+static void scan_records(const char *data, size_t size, std::vector<SRec> &ss,
+                         std::vector<LRec> &ls) {
+    const char *p = data;
+    const char *end = data + size;
+    while (p < end) {
+        const char *nl = (const char *)memchr(p, '\n', end - p);
+        const char *eol = nl ? nl : end;
+        char c = *p;
+        if (c == 'S' && p + 1 < eol && p[1] == '\t') {
+            SRec r;
+            const char *f = p + 2;
+            const char *t = next_tab(f, eol);
+            r.nid = f;
+            r.nid_len = (int)(t - f);
+            f = t < eol ? t + 1 : eol;
+            t = next_tab(f, eol);
+            r.seqlen = (long)(t - f);
+            r.nc = -1;
+            r.ex = NULL;
+            r.ex_len = -1;
+            // tag fields
+            f = t < eol ? t + 1 : eol;
+            while (f < eol) {
+                t = next_tab(f, eol);
+                if (t - f >= 5 && f[2] == ':' && f[4] == ':') {
+                    if (f[0] == 'N' && f[1] == 'C' && t - f > 5)
+                        r.nc = parse_long(f + 5, t);
+                    else if (f[0] == 'E' && f[1] == 'X') {
+                        r.ex = f + 5;
+                        r.ex_len = (long)(t - (f + 5));
+                    }
+                }
+                f = t < eol ? t + 1 : eol;
+            }
+            ss.push_back(r);
+        } else if (c == 'L' && p + 1 < eol && p[1] == '\t') {
+            LRec r;
+            const char *f = p + 2;
+            const char *t = next_tab(f, eol);
+            r.a = f;
+            r.a_len = (int)(t - f);
+            f = t < eol ? t + 1 : eol;       // orient1
+            t = next_tab(f, eol);
+            f = t < eol ? t + 1 : eol;       // b
+            t = next_tab(f, eol);
+            r.b = f;
+            r.b_len = (int)(t - f);
+            f = t < eol ? t + 1 : eol;       // orient2
+            t = next_tab(f, eol);
+            f = t < eol ? t + 1 : eol;       // cigar
+            t = next_tab(f, eol);
+            r.rc = -1;
+            r.jn = NULL;
+            r.jn_len = -1;
+            r.novel = false;
+            f = t < eol ? t + 1 : eol;
+            while (f < eol) {
+                t = next_tab(f, eol);
+                if (t - f >= 5 && f[2] == ':' && f[4] == ':') {
+                    if (f[0] == 'R' && f[1] == 'C' && t - f > 5)
+                        r.rc = parse_long(f + 5, t);
+                    else if (f[0] == 'J' && f[1] == 'N') {
+                        r.jn = f + 5;
+                        r.jn_len = (long)(t - (f + 5));
+                    } else if (f[0] == 'I' && f[1] == 'D')
+                        r.novel = true;
+                }
+                f = t < eol ? t + 1 : eol;
+            }
+            ls.push_back(r);
+        }
+        p = nl ? nl + 1 : end;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// load(path) -> (seg, link, junctions, novel_junctions,
+//                j_by_head, j_by_tail, nj_by_head, nj_by_tail)
+// ---------------------------------------------------------------------------
+
+static int index_add(PyObject *index, PyObject *key, PyObject *pair) {
+    PyObject *s = PyDict_GetItem(index, key);  // borrowed
+    if (!s) {
+        s = PySet_New(NULL);
+        if (!s) return -1;
+        if (PyDict_SetItem(index, key, s) < 0) {
+            Py_DECREF(s);
+            return -1;
+        }
+        Py_DECREF(s);  // dict holds it
+        s = PyDict_GetItem(index, key);
+    }
+    return PySet_Add(s, pair);
+}
+
+static PyObject *gfaload_load(PyObject *, PyObject *args) {
+    const char *path;
+    if (!PyArg_ParseTuple(args, "s", &path)) return NULL;
+
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+    }
+    size_t size = (size_t)st.st_size;
+    const char *data = NULL;
+    if (size > 0) {
+        data = (const char *)mmap(NULL, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (data == MAP_FAILED) {
+            close(fd);
+            return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        }
+        madvise((void *)data, size, MADV_SEQUENTIAL);
+        madvise((void *)data, size, MADV_WILLNEED);
+    }
+    close(fd);
+
+    std::vector<SRec> ss;
+    std::vector<LRec> ls;
+    Py_BEGIN_ALLOW_THREADS
+    if (data) scan_records(data, size, ss, ls);
+    Py_END_ALLOW_THREADS
+
+    PyObject *seg = PyDict_New();
+    PyObject *link = PyDict_New();
+    PyObject *junctions = PySet_New(NULL);
+    PyObject *novel_junctions = PySet_New(NULL);
+    PyObject *j_by_head = PyDict_New();
+    PyObject *j_by_tail = PyDict_New();
+    PyObject *nj_by_head = PyDict_New();
+    PyObject *nj_by_tail = PyDict_New();
+    PyObject *result = NULL;
+    if (!seg || !link || !junctions || !novel_junctions || !j_by_head ||
+        !j_by_tail || !nj_by_head || !nj_by_tail)
+        goto done;
+
+    for (const SRec &r : ss) {
+        PyObject *key = PyUnicode_FromStringAndSize(r.nid, r.nid_len);
+        if (!key) goto done;
+        SegObj *s = (SegObj *)Seg_new(&SegType, NULL, NULL);
+        if (!s) {
+            Py_DECREF(key);
+            goto done;
+        }
+        s->length = r.seqlen;
+        if (r.nc >= 0) {
+            PyObject *v = PyLong_FromLong(r.nc);
+            if (!v) {
+                Py_DECREF(key);
+                Py_DECREF(s);
+                goto done;
+            }
+            Py_SETREF(s->nc, v);
+        }
+        if (r.ex_len >= 0) {
+            PyObject *v = PyUnicode_FromStringAndSize(r.ex, r.ex_len);
+            if (!v) {
+                Py_DECREF(key);
+                Py_DECREF(s);
+                goto done;
+            }
+            Py_SETREF(s->ex_raw, v);
+        }
+        int rcde = PyDict_SetItem(seg, key, (PyObject *)s);
+        Py_DECREF(key);
+        Py_DECREF(s);
+        if (rcde < 0) goto done;
+    }
+
+    for (const LRec &r : ls) {
+        PyObject *a = PyUnicode_FromStringAndSize(r.a, r.a_len);
+        PyObject *b = r.b ? PyUnicode_FromStringAndSize(r.b, r.b_len) : NULL;
+        if (!a || !b) {
+            Py_XDECREF(a);
+            Py_XDECREF(b);
+            goto done;
+        }
+        LinkObj *li = (LinkObj *)Link_new(&LinkType, NULL, NULL);
+        if (!li) {
+            Py_DECREF(a);
+            Py_DECREF(b);
+            goto done;
+        }
+        if (r.rc >= 0) {
+            PyObject *v = PyLong_FromLong(r.rc);
+            if (!v) goto link_fail;
+            Py_SETREF(li->rc, v);
+        }
+        if (r.jn_len >= 0) {
+            PyObject *v = PyUnicode_FromStringAndSize(r.jn, r.jn_len);
+            if (!v) goto link_fail;
+            Py_SETREF(li->jn_raw, v);
+        }
+        if (r.novel) {
+            Py_INCREF(Py_True);
+            Py_SETREF(li->novel, Py_True);
+        }
+        {
+            PyObject *pair = PyTuple_Pack(2, a, b);
+            if (!pair) goto link_fail;
+            if (PyDict_SetItem(link, pair, (PyObject *)li) < 0) {
+                Py_DECREF(pair);
+                goto link_fail;
+            }
+            SegObj *sa = (SegObj *)PyDict_GetItem(seg, a);  // borrowed
+            SegObj *sb = (SegObj *)PyDict_GetItem(seg, b);
+            if (!sa || !sb) {
+                PyErr_Format(PyExc_KeyError,
+                             "L line references unknown segment (%U or %U)", a, b);
+                Py_DECREF(pair);
+                goto link_fail;
+            }
+            if (PyList_Append(sa->outgoing, b) < 0 ||
+                PyList_Append(sb->incoming, a) < 0) {
+                Py_DECREF(pair);
+                goto link_fail;
+            }
+            int bad = 0;
+            if (r.jn_len > 0) {
+                bad |= PySet_Add(junctions, pair) < 0;
+                bad |= index_add(j_by_head, a, pair) < 0;
+                bad |= index_add(j_by_tail, b, pair) < 0;
+            }
+            if (r.novel) {
+                bad |= PySet_Add(novel_junctions, pair) < 0;
+                bad |= index_add(nj_by_head, a, pair) < 0;
+                bad |= index_add(nj_by_tail, b, pair) < 0;
+            }
+            Py_DECREF(pair);
+            if (bad) goto link_fail;
+        }
+        Py_DECREF(a);
+        Py_DECREF(b);
+        Py_DECREF(li);
+        continue;
+    link_fail:
+        Py_DECREF(a);
+        Py_DECREF(b);
+        Py_DECREF(li);
+        goto done;
+    }
+
+    result = PyTuple_Pack(8, seg, link, junctions, novel_junctions, j_by_head,
+                          j_by_tail, nj_by_head, nj_by_tail);
+
+done:
+    Py_XDECREF(seg);
+    Py_XDECREF(link);
+    Py_XDECREF(junctions);
+    Py_XDECREF(novel_junctions);
+    Py_XDECREF(j_by_head);
+    Py_XDECREF(j_by_tail);
+    Py_XDECREF(nj_by_head);
+    Py_XDECREF(nj_by_tail);
+    if (data) munmap((void *)data, size);
+    return result;
+}
+
+static PyMethodDef gfaload_methods[] = {
+    {"load", gfaload_load, METH_VARARGS,
+     "load(path) -> (seg, link, junctions, novel_junctions, j_by_head, "
+     "j_by_tail, nj_by_head, nj_by_tail)"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef gfaload_module = {
+    PyModuleDef_HEAD_INIT, "gfaload_ext",
+    "Native GFA -> SplicingGraph loader", -1, gfaload_methods,
+    NULL, NULL, NULL, NULL,
+};
+
+PyMODINIT_FUNC PyInit_gfaload_ext(void) {
+    SegType.tp_name = "gfaload_ext.Seg";
+    SegType.tp_basicsize = sizeof(SegObj);
+    SegType.tp_flags = Py_TPFLAGS_DEFAULT;
+    SegType.tp_new = Seg_new;
+    SegType.tp_init = (initproc)Seg_init;
+    SegType.tp_dealloc = (destructor)Seg_dealloc;
+    SegType.tp_members = Seg_members;
+
+    LinkType.tp_name = "gfaload_ext.Link";
+    LinkType.tp_basicsize = sizeof(LinkObj);
+    LinkType.tp_flags = Py_TPFLAGS_DEFAULT;
+    LinkType.tp_new = Link_new;
+    LinkType.tp_init = (initproc)Link_init;
+    LinkType.tp_dealloc = (destructor)Link_dealloc;
+    LinkType.tp_members = Link_members;
+    LinkType.tp_getset = Link_getset;
+
+    if (PyType_Ready(&SegType) < 0 || PyType_Ready(&LinkType) < 0) return NULL;
+    PyObject *m = PyModule_Create(&gfaload_module);
+    if (!m) return NULL;
+    Py_INCREF(&SegType);
+    PyModule_AddObject(m, "Seg", (PyObject *)&SegType);
+    Py_INCREF(&LinkType);
+    PyModule_AddObject(m, "Link", (PyObject *)&LinkType);
+    return m;
+}

@@ -1,0 +1,102 @@
+"""Native GFA loader parity: identical structures to the Python parser.
+
+The native loader (``native/gfaload.cpp``) must reproduce the pure-Python
+``SplicingGraph._from_gfa_py`` exactly — contents AND insertion/iteration
+orders (downstream row content is hash-order sensitive, so the two loaders
+must be indistinguishable within a process)."""
+
+import io
+
+import pytest
+
+from pantas_tpu.events.caller import CallOptions, SplicingGraph, call_events
+from pantas_tpu.native.gfaload import get_module
+
+GFA = """H\tVN:Z:1.1
+S\t1\tACGT\tNC:i:9
+S\t2\tGG\tEX:Z:T1_R1.1,T1_H1.1\tNC:i:5
+S\t3\tTTT\tNC:i:0\tEX:Z:T1_R1.2
+S\t4\tC\tEX:Z:T1_H1.2\tNC:i:1
+S\t5\tACGTACGT\tLN:i:8\tNC:i:7\tEX:Z:T1_R1.2,T1_H1.3
+S\t6\tA\tEX:Z:\tNC:i:0
+L\t1\t+\t2\t+\t*\tRC:i:3
+L\t2\t+\t3\t+\t*\tJN:Z:T1_R1.1.2,T1_H1.1.2\tRC:i:4
+L\t2\t+\t4\t+\t*\tRC:i:1\tID:Z:N
+L\t3\t+\t5\t+\t*\tRC:i:0
+L\t4\t+\t5\t+\t*\tJN:Z:T1_H1.2.3\tRC:i:2
+L\t5\t+\t6\t+\t*\tRC:i:0
+P\tref\t1+,2+,3+,5+,6+\t*
+W\ts1\t1\tT1_H1\t0\t9\t>1>2>4>5
+"""
+
+
+@pytest.fixture()
+def gfa_file(tmp_path):
+    p = tmp_path / "g.gfa"
+    p.write_text(GFA)
+    return str(p)
+
+
+def test_loader_available():
+    assert get_module() is not None, "native gfaload extension failed to build"
+
+
+def test_structures_identical(gfa_file):
+    gn = SplicingGraph.from_gfa(gfa_file)
+    gp = SplicingGraph._from_gfa_py(gfa_file)
+
+    assert list(gn.seg) == list(gp.seg)
+    for nid in gp.seg:
+        a, b = gn.seg[nid], gp.seg[nid]
+        assert a.length == b.length, nid
+        assert a.nc == b.nc, nid
+        assert a.ex_raw == b.ex_raw, nid
+        assert a.incoming == b.incoming, nid
+        assert a.outgoing == b.outgoing, nid
+
+    assert list(gn.link) == list(gp.link)
+    for pair in gp.link:
+        a, b = gn.link[pair], gp.link[pair]
+        assert a.rc == b.rc, pair
+        assert a.jn_raw == b.jn_raw, pair
+        assert bool(a.novel) == bool(b.novel), pair
+        assert a.jn == b.jn, pair
+
+    assert gn.junctions == gp.junctions
+    assert gn.novel_junctions == gp.novel_junctions
+    # iteration order parity (same strings, same insertion order)
+    assert list(gn.junctions) == list(gp.junctions)
+    assert list(gn.novel_junctions) == list(gp.novel_junctions)
+    for attr in ("j_by_head", "j_by_tail", "nj_by_head", "nj_by_tail"):
+        dn, dp = getattr(gn, attr), getattr(gp, attr)
+        assert list(dn) == list(dp), attr
+        for k in dp:
+            assert list(dn[k]) == list(dp[k]), (attr, k)
+
+
+def test_call_rows_identical(gfa_file, tmp_path):
+    gtf = tmp_path / "t.gtf"
+    gtf.write_text(
+        'c\tx\ttranscript\t1\t20\t.\t+\t.\tgene_id "G1"; transcript_id "T1";\n'
+        'c\tx\texon\t1\t20\t.\t+\t.\tgene_id "G1"; transcript_id "T1";\n'
+    )
+    opts = CallOptions(rca=0, novel=True, minintronsize=0)
+    rows_n = list(
+        call_events(gfa_file, str(gtf), opts,
+                    graph=SplicingGraph.from_gfa(gfa_file), log=io.StringIO())
+    )
+    rows_p = list(
+        call_events(gfa_file, str(gtf), opts,
+                    graph=SplicingGraph._from_gfa_py(gfa_file), log=io.StringIO())
+    )
+    assert rows_n == rows_p  # exact order, not just multiset
+
+
+def test_seg_link_types_constructible():
+    """from_coverage builds LinkInfo/SegInfo in Python — the C types must
+    accept the same constructor shapes if ever swapped in."""
+    ext = get_module()
+    s = ext.Seg(length=7)
+    assert s.length == 7 and s.nc is None and s.incoming == [] and s.outgoing == []
+    li = ext.Link(5, True)
+    assert li.rc == 5 and li.novel is True and li.jn == []
