@@ -32,6 +32,13 @@ from typing import Dict, Iterator, List, Optional, Sequence, Set, Tuple
 
 from pantas_tpu.io.gtf import parse_transcript_maps
 
+try:  # native loader/tokenizer (self-building; falls back to pure Python)
+    from pantas_tpu.native.gfaload import get_module as _get_ext
+
+    _EXT = _get_ext()
+except Exception:  # pragma: no cover - g++/headers unavailable
+    _EXT = None
+
 Jct = Tuple[str, str]
 
 CSV_HEADER = ",".join(
@@ -158,13 +165,7 @@ class SplicingGraph:
         effects match the pure-Python parse within a process seed); see
         ``native/gfaload.cpp``. Validated by ``tests/test_native_gfaload``.
         """
-        try:
-            from pantas_tpu.native.gfaload import get_module
-
-            ext = get_module()
-        except Exception:
-            ext = None
-        if ext is not None:
+        if _EXT is not None:
             g = cls()
             (
                 g.seg,
@@ -175,7 +176,7 @@ class SplicingGraph:
                 g.j_by_tail,
                 g.nj_by_head,
                 g.nj_by_tail,
-            ) = ext.load(gfa_path)
+            ) = _EXT.load(gfa_path)
             return g
         return cls._from_gfa_py(gfa_path)
 
@@ -248,7 +249,12 @@ class SplicingGraph:
         if cached is not None:
             return cached
         info = self.seg.get(nid)
-        s = set(info.ex_raw.split(",")) if info is not None and info.ex_raw else set()
+        if info is None or not info.ex_raw:
+            s: Set[str] = set()
+        elif _EXT is not None:
+            s = _EXT.split_set(info.ex_raw)
+        else:
+            s = set(info.ex_raw.split(","))
         self._exon_sets[nid] = s
         return s
 
@@ -262,10 +268,16 @@ class SplicingGraph:
         is content-identical for every row emitted."""
         cached = self._jn_keys.get(j)
         if cached is None:
-            cached = {
-                _split_ht(lab.rpartition(".")[0].rpartition(".")[0])[0]
-                for lab in self.link[j].jn
-            }
+            raw = self.link[j].jn_raw
+            if not raw:
+                cached = set()
+            elif _EXT is not None:
+                cached = _EXT.jn_tkeys(raw)
+            else:
+                cached = {
+                    _split_ht(lab.rpartition(".")[0].rpartition(".")[0])[0]
+                    for lab in self.link[j].jn
+                }
             self._jn_keys[j] = cached
         return cached
 
@@ -364,14 +376,20 @@ def _node_gene_labels(g: SplicingGraph, nid: str, t2g) -> Dict[str, Set[str]]:
     once per node replaces the per-(junction, gene) rescans."""
     cached = g._node_gene_labels.get(nid)
     if cached is None:
-        cached = {}
-        for e in g.exset(nid):
-            gg = t2g[_exon_label_th(e)[0]]
-            s = cached.get(gg)
-            if s is None:
-                cached[gg] = {e}
-            else:
-                s.add(e)
+        exs = g.exset(nid)
+        if not exs:
+            cached = {}
+        elif _EXT is not None:
+            cached = _EXT.gene_labels(exs, t2g)
+        else:
+            cached = {}
+            for e in g.exset(nid):
+                gg = t2g[_exon_label_th(e)[0]]
+                s = cached.get(gg)
+                if s is None:
+                    cached[gg] = {e}
+                else:
+                    s.add(e)
         g._node_gene_labels[nid] = cached
     return cached
 

@@ -465,10 +465,170 @@ done:
     return result;
 }
 
+// ---------------------------------------------------------------------------
+// Label tokenization (reference call.py:90-121 name algebra):
+//   exon label  "T_H.e"     -> transcript key "T"
+//   junction    "T_H.e1.e2" -> transcript key "T"
+// rpartition semantics: missing '.' or '_' yields the empty key, exactly as
+// the Python helpers (_exon_label_th / _split_ht) do.
+// ---------------------------------------------------------------------------
+
+static inline const char *rfind_ch(const char *s, Py_ssize_t n, char c) {
+    for (const char *p = s + n - 1; p >= s; --p)
+        if (*p == c) return p;
+    return NULL;
+}
+
+static inline Py_ssize_t tkey_len(const char *s, Py_ssize_t n, int dots) {
+    Py_ssize_t m = n;
+    for (int i = 0; i < dots; ++i) {
+        const char *dot = rfind_ch(s, m, '.');
+        m = dot ? dot - s : 0;
+    }
+    const char *us = rfind_ch(s, m, '_');
+    return us ? us - s : 0;
+}
+
+// gene_labels(exset, t2g) -> dict gene -> set(label)
+// Per-node grouping of exon labels by gene; KeyError on unknown transcript
+// (same as the Python t2g[...] lookup). Iterates the node's exon-label SET
+// (not the raw tag string): the reference builds its gene-filtered exon
+// sets by iterating that set (call.py:258-272), and downstream
+// `next(iter(...))` picks are sensitive to the resulting insertion order —
+// grouping must consume labels in the exact same order.
+static PyObject *gfaload_gene_labels(PyObject *, PyObject *args) {
+    PyObject *exset, *t2g;
+    if (!PyArg_ParseTuple(args, "O!O!", &PySet_Type, &exset, &PyDict_Type, &t2g))
+        return NULL;
+
+    PyObject *out = PyDict_New();
+    if (!out) return NULL;
+    PyObject *tcache = PyDict_New();  // tkey str -> gene (borrowed from t2g)
+    PyObject *iter = PyObject_GetIter(exset);
+    if (!tcache || !iter) {
+        Py_XDECREF(tcache);
+        Py_XDECREF(iter);
+        Py_DECREF(out);
+        return NULL;
+    }
+
+    PyObject *label;
+    while ((label = PyIter_Next(iter)) != NULL) {
+        Py_ssize_t n;
+        const char *p = PyUnicode_AsUTF8AndSize(label, &n);
+        if (!p) goto fail;
+        {
+            Py_ssize_t kl = tkey_len(p, n, 1);
+            PyObject *tkey = PyUnicode_FromStringAndSize(p, kl);
+            if (!tkey) goto fail;
+            PyObject *gene = PyDict_GetItem(tcache, tkey);  // borrowed
+            if (!gene) {
+                gene = PyDict_GetItem(t2g, tkey);  // borrowed
+                if (!gene) {
+                    PyErr_SetObject(PyExc_KeyError, tkey);
+                    Py_DECREF(tkey);
+                    goto fail;
+                }
+                if (PyDict_SetItem(tcache, tkey, gene) < 0) {
+                    Py_DECREF(tkey);
+                    goto fail;
+                }
+            }
+            Py_DECREF(tkey);
+            PyObject *s = PyDict_GetItem(out, gene);  // borrowed
+            if (!s) {
+                s = PySet_New(NULL);
+                if (!s || PyDict_SetItem(out, gene, s) < 0) {
+                    Py_XDECREF(s);
+                    goto fail;
+                }
+                Py_DECREF(s);
+                s = PyDict_GetItem(out, gene);
+            }
+            if (PySet_Add(s, label) < 0) goto fail;
+        }
+        Py_DECREF(label);
+    }
+    Py_DECREF(iter);
+    Py_DECREF(tcache);
+    if (PyErr_Occurred()) {
+        Py_DECREF(out);
+        return NULL;
+    }
+    return out;
+fail:
+    Py_XDECREF(label);
+    Py_DECREF(iter);
+    Py_DECREF(tcache);
+    Py_DECREF(out);
+    return NULL;
+}
+
+// jn_tkeys(jn_raw) -> set of transcript keys of a JN label list
+static PyObject *gfaload_jn_tkeys(PyObject *, PyObject *args) {
+    PyObject *jn_raw;
+    if (!PyArg_ParseTuple(args, "U", &jn_raw)) return NULL;
+    Py_ssize_t rawlen;
+    const char *raw = PyUnicode_AsUTF8AndSize(jn_raw, &rawlen);
+    if (!raw) return NULL;
+    PyObject *out = PySet_New(NULL);
+    if (!out) return NULL;
+    const char *p = raw;
+    const char *end = raw + rawlen;
+    while (p <= end) {
+        const char *comma = (const char *)memchr(p, ',', end - p);
+        const char *e = comma ? comma : end;
+        Py_ssize_t kl = tkey_len(p, e - p, 2);
+        PyObject *tkey = PyUnicode_FromStringAndSize(p, kl);
+        if (!tkey || PySet_Add(out, tkey) < 0) {
+            Py_XDECREF(tkey);
+            Py_DECREF(out);
+            return NULL;
+        }
+        Py_DECREF(tkey);
+        if (!comma) break;
+        p = comma + 1;
+    }
+    return out;
+}
+
+// split_set(raw) -> set of the comma-separated items (exset semantics)
+static PyObject *gfaload_split_set(PyObject *, PyObject *args) {
+    PyObject *rawo;
+    if (!PyArg_ParseTuple(args, "U", &rawo)) return NULL;
+    Py_ssize_t rawlen;
+    const char *raw = PyUnicode_AsUTF8AndSize(rawo, &rawlen);
+    if (!raw) return NULL;
+    PyObject *out = PySet_New(NULL);
+    if (!out) return NULL;
+    const char *p = raw;
+    const char *end = raw + rawlen;
+    while (p <= end) {
+        const char *comma = (const char *)memchr(p, ',', end - p);
+        const char *e = comma ? comma : end;
+        PyObject *item = PyUnicode_FromStringAndSize(p, e - p);
+        if (!item || PySet_Add(out, item) < 0) {
+            Py_XDECREF(item);
+            Py_DECREF(out);
+            return NULL;
+        }
+        Py_DECREF(item);
+        if (!comma) break;
+        p = comma + 1;
+    }
+    return out;
+}
+
 static PyMethodDef gfaload_methods[] = {
     {"load", gfaload_load, METH_VARARGS,
      "load(path) -> (seg, link, junctions, novel_junctions, j_by_head, "
      "j_by_tail, nj_by_head, nj_by_tail)"},
+    {"gene_labels", gfaload_gene_labels, METH_VARARGS,
+     "gene_labels(ex_raw, t2g) -> {gene: set(labels)}"},
+    {"jn_tkeys", gfaload_jn_tkeys, METH_VARARGS,
+     "jn_tkeys(jn_raw) -> set of transcript keys"},
+    {"split_set", gfaload_split_set, METH_VARARGS,
+     "split_set(raw) -> set of comma-separated items"},
     {NULL, NULL, 0, NULL},
 };
 
