@@ -100,8 +100,8 @@ def find_annotated_es(
             continue
         Js1 = graph.j_by_head.get(J[0], graph._empty_j) - {J}
         Js2 = graph.j_by_tail.get(J[1], graph._empty_j) - {J}
-        Js1 = {x for x in Js1 if gene in _genes_of_hts(graph.jn_keys(x), t2g)}
-        Js2 = {x for x in Js2 if gene in _genes_of_hts(graph.jn_keys(x), t2g)}
+        Js1 = {x for x in Js1 if gene in graph.jn_genes(x, t2g)}
+        Js2 = {x for x in Js2 if gene in graph.jn_genes(x, t2g)}
         if not Js1 or not Js2:
             continue
         if J not in filt_cache:
@@ -218,8 +218,8 @@ def find_annotated_ss(
             continue
         Js1 = graph.j_by_head.get(J[0], graph._empty_j) - {J}
         Js2 = graph.j_by_tail.get(J[1], graph._empty_j) - {J}
-        Js1 = {x for x in Js1 if gene in _genes_of_hts(graph.jn_keys(x), t2g)}
-        Js2 = {x for x in Js2 if gene in _genes_of_hts(graph.jn_keys(x), t2g)}
+        Js1 = {x for x in Js1 if gene in graph.jn_genes(x, t2g)}
+        Js2 = {x for x in Js2 if gene in graph.jn_genes(x, t2g)}
         strand = genestrand[gene]
 
         exons1 = {

@@ -117,6 +117,7 @@ class SplicingGraph:
         self._exon_sets: Dict[str, Set[str]] = {}
         self._node_gene_labels: Dict[str, Dict[str, Set[str]]] = {}
         self._jn_keys: Dict[Jct, Set[str]] = {}
+        self._jn_genes: Dict[Jct, Set[str]] = {}
         self._empty: Set[str] = set()
         self._empty_j: Set[Jct] = set()
         # junction endpoint indexes (replace the reference's O(J) scans at
@@ -281,6 +282,15 @@ class SplicingGraph:
             self._jn_keys[j] = cached
         return cached
 
+    def jn_genes(self, j: Jct, t2g: Dict[str, str]) -> Set[str]:
+        """Gene set of a junction's transcript keys (cached; same content
+        and KeyError semantics as ``set(t2g[t] for t in jn_keys(j))``)."""
+        cached = self._jn_genes.get(j)
+        if cached is None:
+            cached = set(t2g[t] for t in self.jn_keys(j))
+            self._jn_genes[j] = cached
+        return cached
+
     def nc(self, nid: str) -> int:
         v = self.seg[nid].nc
         if v is None:
@@ -331,6 +341,7 @@ def tkeys_of_exons(labels) -> Set[str]:
     return {_exon_label_th(lab)[0] for lab in labels}
 
 
+@lru_cache(maxsize=1 << 20)
 def transcript_of_label(label: str) -> str:
     """Junction/exon label -> transcript id (drops the trailing hap tag).
 
@@ -420,7 +431,7 @@ def _call_annotated(
             continue
         jn = g.link[_j].jn
         _ht = g.jn_keys(_j)
-        _genes = _genes_of_hts(_ht, t2g)
+        _genes = g.jn_genes(_j, t2g)
         if len(_genes) > 1:
             continue
         _gene = next(iter(_genes))
@@ -433,12 +444,12 @@ def _call_annotated(
         Js1 = set(
             x
             for x in Js1
-            if len(_genes & _genes_of_hts(g.jn_keys(x), t2g)) > 0
+            if len(_genes & g.jn_genes(x, t2g)) > 0
         )
         Js2 = set(
             x
             for x in Js2
-            if len(_genes & _genes_of_hts(g.jn_keys(x), t2g)) > 0
+            if len(_genes & g.jn_genes(x, t2g)) > 0
         )
 
         strand = genestrand[_gene]
@@ -746,7 +757,7 @@ def _call_novel(
                 found = _frontier_search(g, _j[1], exonic_next, opts.isw, forward=True)
                 if found is not None:
                     j1 = (_j[0], found)
-                    _genes = _genes_of_hts(g.jn_keys(j1), t2g)
+                    _genes = g.jn_genes(j1, t2g)
                     if len(_genes) > 1:
                         print("Skipping SS due to multiple genes", file=log)
                     else:
@@ -772,7 +783,7 @@ def _call_novel(
                 found = _frontier_search(g, _j[0], exonic_prev, opts.isw, forward=False)
                 if found is not None:
                     j1 = (found, _j[1])
-                    _genes = _genes_of_hts(g.jn_keys(j1), t2g)
+                    _genes = g.jn_genes(j1, t2g)
                     if len(_genes) > 1:
                         print("Skipping SS due to multiple genes", file=log)
                     else:
@@ -842,7 +853,7 @@ def _call_novel(
                 continue
             jn = g.link[_j].jn
             _ht = g.jn_keys(_j)
-            _genes = _genes_of_hts(_ht, t2g)
+            _genes = g.jn_genes(_j, t2g)
             if len(_genes) > 1:
                 continue
             _gene = next(iter(_genes))

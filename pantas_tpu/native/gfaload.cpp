@@ -25,37 +25,67 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#include <string_view>
+#include <thread>
+#include <unordered_map>
 #include <vector>
 
 // ---------------------------------------------------------------------------
-// Seg type (attribute-compatible with events.caller.SegInfo)
+// Buf: owns the mmap'd file for the lifetime of lazy tag slices
 // ---------------------------------------------------------------------------
 
 typedef struct {
     PyObject_HEAD
-    PyObject *ex_raw;    // str or None
+    const char *data;
+    size_t size;
+} BufObj;
+
+static void Buf_dealloc(BufObj *self) {
+    if (self->data) munmap((void *)self->data, self->size);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyTypeObject BufType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+};
+
+// ---------------------------------------------------------------------------
+// Seg type (attribute-compatible with events.caller.SegInfo). The EX tag is
+// kept as a (buf, offset, len) slice and materialized to a str only on
+// first .ex_raw access — most segments' exon labels are never consulted.
+// ---------------------------------------------------------------------------
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *ex_obj;    // materialized str, explicit assignment, or NULL
     PyObject *nc;        // int or None
     PyObject *incoming;  // list[str]
     PyObject *outgoing;  // list[str]
+    PyObject *buf;       // BufObj keeping the lazy slice alive, or NULL
+    const char *ex_ptr;  // lazy slice (valid while buf held)
+    long ex_len;         // -1 = no EX tag
     long length;
 } SegObj;
 
 static void Seg_dealloc(SegObj *self) {
-    Py_XDECREF(self->ex_raw);
+    Py_XDECREF(self->ex_obj);
     Py_XDECREF(self->nc);
     Py_XDECREF(self->incoming);
     Py_XDECREF(self->outgoing);
+    Py_XDECREF(self->buf);
     Py_TYPE(self)->tp_free((PyObject *)self);
 }
 
 static PyObject *Seg_new(PyTypeObject *type, PyObject *, PyObject *) {
     SegObj *self = (SegObj *)type->tp_alloc(type, 0);
     if (!self) return NULL;
-    Py_INCREF(Py_None);
-    self->ex_raw = Py_None;
+    self->ex_obj = NULL;
     Py_INCREF(Py_None);
     self->nc = Py_None;
     self->length = 0;
+    self->buf = NULL;
+    self->ex_ptr = NULL;
+    self->ex_len = -1;
     self->incoming = PyList_New(0);
     self->outgoing = PyList_New(0);
     if (!self->incoming || !self->outgoing) {
@@ -74,8 +104,32 @@ static int Seg_init(SegObj *self, PyObject *args, PyObject *kwds) {
     return 0;
 }
 
+static PyObject *Seg_get_ex_raw(SegObj *self, void *) {
+    if (self->ex_obj) {
+        Py_INCREF(self->ex_obj);
+        return self->ex_obj;
+    }
+    if (self->ex_len < 0) Py_RETURN_NONE;
+    self->ex_obj = PyUnicode_FromStringAndSize(self->ex_ptr, self->ex_len);
+    if (!self->ex_obj) return NULL;
+    Py_INCREF(self->ex_obj);
+    return self->ex_obj;
+}
+
+static int Seg_set_ex_raw(SegObj *self, PyObject *value, void *) {
+    if (!value) value = Py_None;
+    Py_INCREF(value);
+    Py_XSETREF(self->ex_obj, value);
+    self->ex_len = -1;  // explicit assignment overrides the lazy slice
+    return 0;
+}
+
+static PyGetSetDef Seg_getset[] = {
+    {"ex_raw", (getter)Seg_get_ex_raw, (setter)Seg_set_ex_raw, NULL, NULL},
+    {NULL, NULL, NULL, NULL, NULL},
+};
+
 static PyMemberDef Seg_members[] = {
-    {"ex_raw", T_OBJECT, offsetof(SegObj, ex_raw), 0, NULL},
     {"nc", T_OBJECT, offsetof(SegObj, nc), 0, NULL},
     {"incoming", T_OBJECT, offsetof(SegObj, incoming), 0, NULL},
     {"outgoing", T_OBJECT, offsetof(SegObj, outgoing), 0, NULL},
@@ -95,16 +149,20 @@ static PyTypeObject SegType = {
 typedef struct {
     PyObject_HEAD
     PyObject *rc;      // int or None
-    PyObject *jn_raw;  // str or None
+    PyObject *jn_obj;  // materialized str, explicit assignment, or NULL
     PyObject *novel;   // bool
     PyObject *jn_list; // cached list or NULL
+    PyObject *buf;     // BufObj keeping the lazy slice alive, or NULL
+    const char *jn_ptr;
+    long jn_len;       // -1 = no JN tag
 } LinkObj;
 
 static void Link_dealloc(LinkObj *self) {
     Py_XDECREF(self->rc);
-    Py_XDECREF(self->jn_raw);
+    Py_XDECREF(self->jn_obj);
     Py_XDECREF(self->novel);
     Py_XDECREF(self->jn_list);
+    Py_XDECREF(self->buf);
     Py_TYPE(self)->tp_free((PyObject *)self);
 }
 
@@ -113,11 +171,13 @@ static PyObject *Link_new(PyTypeObject *type, PyObject *, PyObject *) {
     if (!self) return NULL;
     Py_INCREF(Py_None);
     self->rc = Py_None;
-    Py_INCREF(Py_None);
-    self->jn_raw = Py_None;
+    self->jn_obj = NULL;
     Py_INCREF(Py_False);
     self->novel = Py_False;
     self->jn_list = NULL;
+    self->buf = NULL;
+    self->jn_ptr = NULL;
+    self->jn_len = -1;
     return (PyObject *)self;
 }
 
@@ -133,16 +193,43 @@ static int Link_init(LinkObj *self, PyObject *args, PyObject *kwds) {
     return 0;
 }
 
+static PyObject *Link_get_jn_raw(LinkObj *self, void *) {
+    if (self->jn_obj) {
+        Py_INCREF(self->jn_obj);
+        return self->jn_obj;
+    }
+    if (self->jn_len < 0) Py_RETURN_NONE;
+    self->jn_obj = PyUnicode_FromStringAndSize(self->jn_ptr, self->jn_len);
+    if (!self->jn_obj) return NULL;
+    Py_INCREF(self->jn_obj);
+    return self->jn_obj;
+}
+
+static int Link_set_jn_raw(LinkObj *self, PyObject *value, void *) {
+    if (!value) value = Py_None;
+    Py_INCREF(value);
+    Py_XSETREF(self->jn_obj, value);
+    self->jn_len = -1;
+    Py_CLEAR(self->jn_list);
+    return 0;
+}
+
 static PyObject *Link_get_jn(LinkObj *self, void *) {
     if (!self->jn_list) {
-        if (self->jn_raw != Py_None && PyUnicode_GET_LENGTH(self->jn_raw) > 0) {
+        PyObject *raw = Link_get_jn_raw(self, NULL);
+        if (!raw) return NULL;
+        if (raw != Py_None && PyUnicode_GET_LENGTH(raw) > 0) {
             PyObject *comma = PyUnicode_FromStringAndSize(",", 1);
-            if (!comma) return NULL;
-            self->jn_list = PyUnicode_Split(self->jn_raw, comma, -1);
+            if (!comma) {
+                Py_DECREF(raw);
+                return NULL;
+            }
+            self->jn_list = PyUnicode_Split(raw, comma, -1);
             Py_DECREF(comma);
         } else {
             self->jn_list = PyList_New(0);
         }
+        Py_DECREF(raw);
         if (!self->jn_list) return NULL;
     }
     Py_INCREF(self->jn_list);
@@ -151,12 +238,12 @@ static PyObject *Link_get_jn(LinkObj *self, void *) {
 
 static PyGetSetDef Link_getset[] = {
     {"jn", (getter)Link_get_jn, NULL, NULL, NULL},
+    {"jn_raw", (getter)Link_get_jn_raw, (setter)Link_set_jn_raw, NULL, NULL},
     {NULL, NULL, NULL, NULL, NULL},
 };
 
 static PyMemberDef Link_members[] = {
     {"rc", T_OBJECT, offsetof(LinkObj, rc), 0, NULL},
-    {"jn_raw", T_OBJECT, offsetof(LinkObj, jn_raw), 0, NULL},
     {"novel", T_OBJECT, offsetof(LinkObj, novel), 0, NULL},
     {NULL, 0, 0, 0, NULL},
 };
@@ -327,8 +414,51 @@ static PyObject *gfaload_load(PyObject *, PyObject *args) {
     std::vector<SRec> ss;
     std::vector<LRec> ls;
     Py_BEGIN_ALLOW_THREADS
-    if (data) scan_records(data, size, ss, ls);
+    if (data) {
+        unsigned nt = std::thread::hardware_concurrency();
+        if (nt > 8) nt = 8;
+        if (nt < 2 || size < (1u << 20)) {
+            scan_records(data, size, ss, ls);
+        } else {
+            // split at line boundaries; records concatenate in chunk order,
+            // preserving exact file order of S and of L records
+            std::vector<size_t> bounds{0};
+            for (unsigned i = 1; i < nt; ++i) {
+                size_t guess = size * i / nt;
+                const char *nl =
+                    (const char *)memchr(data + guess, '\n', size - guess);
+                bounds.push_back(nl ? (size_t)(nl - data) + 1 : size);
+            }
+            bounds.push_back(size);
+            std::vector<std::vector<SRec>> sss(nt);
+            std::vector<std::vector<LRec>> lss(nt);
+            std::vector<std::thread> threads;
+            for (unsigned i = 0; i < nt; ++i) {
+                size_t lo = bounds[i], hi = bounds[i + 1];
+                if (lo >= hi) continue;
+                threads.emplace_back([&, i, lo, hi] {
+                    scan_records(data + lo, hi - lo, sss[i], lss[i]);
+                });
+            }
+            for (auto &t : threads) t.join();
+            for (unsigned i = 0; i < nt; ++i) {
+                ss.insert(ss.end(), sss[i].begin(), sss[i].end());
+                ls.insert(ls.end(), lss[i].begin(), lss[i].end());
+            }
+        }
+    }
     Py_END_ALLOW_THREADS
+
+    BufObj *buf = NULL;
+    if (data) {
+        buf = (BufObj *)BufType.tp_alloc(&BufType, 0);
+        if (!buf) {
+            munmap((void *)data, size);
+            return NULL;
+        }
+        buf->data = data;  // Buf now owns the mapping
+        buf->size = size;
+    }
 
     PyObject *seg = PyDict_New();
     PyObject *link = PyDict_New();
@@ -362,13 +492,10 @@ static PyObject *gfaload_load(PyObject *, PyObject *args) {
             Py_SETREF(s->nc, v);
         }
         if (r.ex_len >= 0) {
-            PyObject *v = PyUnicode_FromStringAndSize(r.ex, r.ex_len);
-            if (!v) {
-                Py_DECREF(key);
-                Py_DECREF(s);
-                goto done;
-            }
-            Py_SETREF(s->ex_raw, v);
+            s->ex_ptr = r.ex;
+            s->ex_len = r.ex_len;
+            Py_INCREF(buf);
+            s->buf = (PyObject *)buf;
         }
         int rcde = PyDict_SetItem(seg, key, (PyObject *)s);
         Py_DECREF(key);
@@ -396,9 +523,10 @@ static PyObject *gfaload_load(PyObject *, PyObject *args) {
             Py_SETREF(li->rc, v);
         }
         if (r.jn_len >= 0) {
-            PyObject *v = PyUnicode_FromStringAndSize(r.jn, r.jn_len);
-            if (!v) goto link_fail;
-            Py_SETREF(li->jn_raw, v);
+            li->jn_ptr = r.jn;
+            li->jn_len = r.jn_len;
+            Py_INCREF(buf);
+            li->buf = (PyObject *)buf;
         }
         if (r.novel) {
             Py_INCREF(Py_True);
@@ -461,7 +589,7 @@ done:
     Py_XDECREF(j_by_tail);
     Py_XDECREF(nj_by_head);
     Py_XDECREF(nj_by_tail);
-    if (data) munmap((void *)data, size);
+    Py_XDECREF(buf);  // segs/links that captured slices keep it alive
     return result;
 }
 
@@ -503,63 +631,59 @@ static PyObject *gfaload_gene_labels(PyObject *, PyObject *args) {
 
     PyObject *out = PyDict_New();
     if (!out) return NULL;
-    PyObject *tcache = PyDict_New();  // tkey str -> gene (borrowed from t2g)
-    PyObject *iter = PyObject_GetIter(exset);
-    if (!tcache || !iter) {
-        Py_XDECREF(tcache);
-        Py_XDECREF(iter);
-        Py_DECREF(out);
-        return NULL;
-    }
 
+    // tkey bytes -> (gene, its set in `out`); string_view keys are backed by
+    // the label unicode objects' UTF-8 caches, which the exset keeps alive
+    struct Entry {
+        PyObject *gene;
+        PyObject *set;  // borrowed from out
+    };
+    std::unordered_map<std::string_view, Entry> tcache;
+    tcache.reserve(64);
+
+    // direct set-table walk (_PySet_NextEntry follows the same order as a
+    // Python-level iterator — required for downstream order parity)
+    Py_ssize_t pos = 0;
     PyObject *label;
-    while ((label = PyIter_Next(iter)) != NULL) {
+    Py_hash_t hash;
+    while (_PySet_NextEntry(exset, &pos, &label, &hash)) {
         Py_ssize_t n;
         const char *p = PyUnicode_AsUTF8AndSize(label, &n);
         if (!p) goto fail;
         {
             Py_ssize_t kl = tkey_len(p, n, 1);
-            PyObject *tkey = PyUnicode_FromStringAndSize(p, kl);
-            if (!tkey) goto fail;
-            PyObject *gene = PyDict_GetItem(tcache, tkey);  // borrowed
-            if (!gene) {
-                gene = PyDict_GetItem(t2g, tkey);  // borrowed
+            std::string_view kv(p, (size_t)kl);
+            auto it = tcache.find(kv);
+            PyObject *s;
+            if (it == tcache.end()) {
+                PyObject *tkey = PyUnicode_FromStringAndSize(p, kl);
+                if (!tkey) goto fail;
+                PyObject *gene = PyDict_GetItem(t2g, tkey);  // borrowed
                 if (!gene) {
                     PyErr_SetObject(PyExc_KeyError, tkey);
                     Py_DECREF(tkey);
                     goto fail;
                 }
-                if (PyDict_SetItem(tcache, tkey, gene) < 0) {
-                    Py_DECREF(tkey);
-                    goto fail;
+                Py_DECREF(tkey);
+                s = PyDict_GetItem(out, gene);  // borrowed
+                if (!s) {
+                    s = PySet_New(NULL);
+                    if (!s || PyDict_SetItem(out, gene, s) < 0) {
+                        Py_XDECREF(s);
+                        goto fail;
+                    }
+                    Py_DECREF(s);
+                    s = PyDict_GetItem(out, gene);
                 }
-            }
-            Py_DECREF(tkey);
-            PyObject *s = PyDict_GetItem(out, gene);  // borrowed
-            if (!s) {
-                s = PySet_New(NULL);
-                if (!s || PyDict_SetItem(out, gene, s) < 0) {
-                    Py_XDECREF(s);
-                    goto fail;
-                }
-                Py_DECREF(s);
-                s = PyDict_GetItem(out, gene);
+                tcache.emplace(kv, Entry{gene, s});
+            } else {
+                s = it->second.set;
             }
             if (PySet_Add(s, label) < 0) goto fail;
         }
-        Py_DECREF(label);
-    }
-    Py_DECREF(iter);
-    Py_DECREF(tcache);
-    if (PyErr_Occurred()) {
-        Py_DECREF(out);
-        return NULL;
     }
     return out;
 fail:
-    Py_XDECREF(label);
-    Py_DECREF(iter);
-    Py_DECREF(tcache);
     Py_DECREF(out);
     return NULL;
 }
@@ -639,6 +763,11 @@ static struct PyModuleDef gfaload_module = {
 };
 
 PyMODINIT_FUNC PyInit_gfaload_ext(void) {
+    BufType.tp_name = "gfaload_ext.Buf";
+    BufType.tp_basicsize = sizeof(BufObj);
+    BufType.tp_flags = Py_TPFLAGS_DEFAULT;
+    BufType.tp_dealloc = (destructor)Buf_dealloc;
+
     SegType.tp_name = "gfaload_ext.Seg";
     SegType.tp_basicsize = sizeof(SegObj);
     SegType.tp_flags = Py_TPFLAGS_DEFAULT;
@@ -646,6 +775,7 @@ PyMODINIT_FUNC PyInit_gfaload_ext(void) {
     SegType.tp_init = (initproc)Seg_init;
     SegType.tp_dealloc = (destructor)Seg_dealloc;
     SegType.tp_members = Seg_members;
+    SegType.tp_getset = Seg_getset;
 
     LinkType.tp_name = "gfaload_ext.Link";
     LinkType.tp_basicsize = sizeof(LinkObj);
@@ -656,7 +786,9 @@ PyMODINIT_FUNC PyInit_gfaload_ext(void) {
     LinkType.tp_members = Link_members;
     LinkType.tp_getset = Link_getset;
 
-    if (PyType_Ready(&SegType) < 0 || PyType_Ready(&LinkType) < 0) return NULL;
+    if (PyType_Ready(&BufType) < 0 || PyType_Ready(&SegType) < 0 ||
+        PyType_Ready(&LinkType) < 0)
+        return NULL;
     PyObject *m = PyModule_Create(&gfaload_module);
     if (!m) return NULL;
     Py_INCREF(&SegType);
