@@ -299,6 +299,67 @@ def find_annotated_ss(
     return Counter(k for k, h in zip(keys, hits) if h)
 
 
+def find_novel_es(
+    graph: SplicingGraph,
+    t2g: Dict[str, str],
+    rca: int = -1,
+) -> Set[Tuple[Jct, Jct, Jct]]:
+    """Novel-ES (J, j1, j2) triples as device bitset ops.
+
+    Same inclusion algebra as annotated ES (reference ``call.py:550-614``):
+    a novel junction J whose exonic ends differ, flanked by annotated
+    junctions j1 = (J.head, n) and j2 = (q, J.tail), fires iff the two
+    flanks share a transcript — one bitset AND + any-reduce per candidate.
+    Gene uniqueness and row emission stay host-side (they need the actual
+    inclusion set, computed only for hits).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    junctions = sorted(graph.junctions)
+    if not junctions or not graph.novel_junctions:
+        return set()
+    j_index = {j: i for i, j in enumerate(junctions)}
+
+    t_vocab: Dict[str, int] = {}
+
+    def t_id(t: str) -> int:
+        return t_vocab.setdefault(t, len(t_vocab))
+
+    j_tsets: List[Set[int]] = [
+        {t_id(t) for t in graph.jn_keys(j)} for j in junctions
+    ]
+
+    cands: List[Tuple[Jct, Jct, Jct]] = []
+    for J in sorted(graph.novel_junctions):
+        if graph.rc(J) < rca:
+            continue
+        ex0 = graph.exset(J[0])
+        ex1 = graph.exset(J[1])
+        if not ex0 and not ex1:
+            continue
+        if not (ex0 and ex1 and len(ex0 & ex1) != len(ex0)):
+            continue
+        nodes1 = [n for n in graph.out(J[0]) if (J[0], n) in graph.junctions]
+        nodes2 = [q for q in graph.inc(J[1]) if (q, J[1]) in graph.junctions]
+        for n in nodes1:
+            for q in nodes2:
+                cands.append((J, (J[0], n), (q, J[1])))
+    if not cands:
+        return set()
+
+    T = jnp.asarray(_bitset_matrix(j_tsets, len(t_vocab)))
+    j1 = np.asarray([j_index[c[1]] for c in cands], dtype=np.int32)
+    j2 = np.asarray([j_index[c[2]] for c in cands], dtype=np.int32)
+
+    @jax.jit
+    def match(T, j1, j2):
+        return jnp.any((T[j1] & T[j2]) != 0, axis=1)
+
+    hits = np.asarray(match(T, jnp.asarray(j1), jnp.asarray(j2)))
+    return {c for c, h in zip(cands, hits) if h}
+
+
 def call_events_device(
     gfa_path: str,
     gtf_path: str,
@@ -397,7 +458,47 @@ def call_events_device(
                 graph, t2g, genestrand, genechr, ir_opts, log
             )
     if opts.novel:
-        yield from _call_novel(graph, t2g, genestrand, genechr, opts, log)
+        if "ES" in opts.events:
+            # the novel-junction --junction filter WORKS in the reference
+            # (unlike the annotated pass's broken literal) — apply it here
+            hits = find_novel_es(graph, t2g, rca=opts.rca)
+            if opts.junction is not None:
+                hits = {
+                    c for c in hits if f"{c[0][0]}-{c[0][1]}" == opts.junction
+                }
+            for J, j1, j2 in sorted(hits):
+                inclusion = graph.jn_keys(j1) & graph.jn_keys(j2)
+                _genes = set(t2g[t] for t in inclusion)
+                if len(_genes) > 1:
+                    print("Skipping ES due to multiple genes", file=log)
+                    continue
+                gene = next(iter(_genes))
+                yield _row(
+                    "ES",
+                    "novel",
+                    genechr[gene],
+                    gene,
+                    genestrand[gene],
+                    "?",
+                    "|".join(
+                        x for x in graph.link[j1].jn
+                        if transcript_of_label(x) in inclusion
+                    ),
+                    "|".join(
+                        x for x in graph.link[j2].jn
+                        if transcript_of_label(x) in inclusion
+                    ),
+                    ">".join(J),
+                    graph.rc(J),
+                    ">".join(j1),
+                    graph.rc(j1),
+                    ">".join(j2),
+                    graph.rc(j2),
+                )
+        yield from _call_novel(
+            graph, t2g, genestrand, genechr, opts, log,
+            emit_novel_es="ES" not in opts.events,
+        )
 
 
 def host_ss_rows(gfa_path: str, gtf_path: str, rca: int = -1):

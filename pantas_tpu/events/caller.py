@@ -605,8 +605,18 @@ def _call_annotated(
 
 
 def _call_novel(
-    g: SplicingGraph, t2g, genestrand, genechr, opts: CallOptions, log
+    g: SplicingGraph,
+    t2g,
+    genestrand,
+    genechr,
+    opts: CallOptions,
+    log,
+    emit_novel_es: bool = True,
 ) -> Iterator[str]:
+    """``emit_novel_es=False`` suppresses only the novel-ES yields (the
+    device engine produces them); safe because the ES block writes no state
+    the leaked ``p``/``n`` quirk variables could observe — ``p`` is never
+    assigned there and ``n`` is reassigned before any read."""
     events = opts.events
     # QUIRK: p and n mirror the reference's leaked loop variables
     # (call.py:630,685): their values persist across blocks AND across
@@ -628,7 +638,7 @@ def _call_novel(
         _next0 = g.out(_j[0])
         _prev1 = g.inc(_j[1])
 
-        if "ES" in events:
+        if "ES" in events and emit_novel_es:
             if _exons0 and _exons1 and len(_exons0 & _exons1) != len(_exons0):
                 nodes1 = [n for n in _next0 if (_j[0], n) in g.junctions]
                 nodes2 = [q for q in _prev1 if (q, _j[1]) in g.junctions]

@@ -8,6 +8,7 @@ from fixtures_call import write_call_fixtures
 from pantas_tpu.events.batched import (
     find_annotated_es,
     find_annotated_ss,
+    find_novel_es,
     host_es_triples,
     host_ss_rows,
 )
@@ -77,6 +78,35 @@ def _rows(cmd_extra, gfa, gtf, tmp_path, tag):
     return sorted(out.read_text().splitlines())
 
 
+def test_batched_novel_es_micro(tmp_path):
+    """The splice fixture's novel link 2>8 spans exon 2: flanks (2,4) and
+    (5,8) share transcript TE, so the device bitset pass must find exactly
+    the host's novel-ES triples."""
+    paths = write_call_fixtures(tmp_path)
+    gfa, gtf = paths["splice"]
+    graph = SplicingGraph.from_gfa(gfa)
+    t2g, _, _ = parse_transcript_maps(gtf)
+    triples = find_novel_es(graph, t2g, rca=0)
+    assert (("2", "8"), ("2", "4"), ("5", "8")) in triples
+    # host truth: novel ES rows' (J, j1, j2) node triples
+    import io
+
+    from pantas_tpu.events.caller import CallOptions, call_events
+
+    host = set()
+    for row in call_events(gfa, gtf, CallOptions(rca=0, novel=True), log=io.StringIO()):
+        cols = row.split(",")
+        if cols[0] == "ES" and cols[1] == "novel":
+            host.add(
+                (tuple(cols[8].split(">")), tuple(cols[10].split(">")),
+                 tuple(cols[12].split(">")))
+            )
+    assert {c for c in triples} >= host  # device hits cover every emitted row
+    # rows not emitted are exactly the multi-gene skips; on this single-gene
+    # fixture the sets must match outright
+    assert set(triples) == host
+
+
 def test_device_call_engine_micro(tmp_path):
     paths = write_call_fixtures(tmp_path)
     for name in ("splice", "cassette"):
@@ -104,3 +134,10 @@ def test_device_call_engine_example_scale(tmp_path, example_graph):
     dev = _rows(["--rca", "0", "--engine", "device"], aug, EXAMPLE / "4.gtf", tmp_path, "dev")
     assert dev == host
     assert len(host) > 100
+    host = _rows(["--rca", "0", "--novel"], aug, EXAMPLE / "4.gtf", tmp_path, "hostn")
+    dev = _rows(
+        ["--rca", "0", "--novel", "--engine", "device"],
+        aug, EXAMPLE / "4.gtf", tmp_path, "devn",
+    )
+    assert dev == host
+    assert len(host) > 400  # the novel pass roughly triples the example rows
