@@ -43,6 +43,22 @@ from pantas_tpu.events.caller import (
 )
 
 
+def _ensure_backend() -> None:
+    """Fall back to the CPU backend when the preferred one can't start.
+
+    The environment pre-imports jax with an experimental platform pinned
+    (see CLAUDE.md); if that backend fails to initialize (e.g. the TPU
+    tunnel is down), the device engine must still run — bitset matching is
+    backend-agnostic."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+
 def _bitset_matrix(sets: Sequence[Set[int]], vocab: int) -> np.ndarray:
     words = (vocab + 31) // 32
     out = np.zeros((len(sets), max(words, 1)), dtype=np.uint32)
@@ -58,6 +74,7 @@ def find_annotated_es(
     rca: int = -1,
 ) -> Set[Tuple[Jct, Jct, Jct]]:
     """All (J, j1, j2) annotated-ES triples, evaluated as device bitset ops."""
+    _ensure_backend()
     import jax
     import jax.numpy as jnp
 
@@ -166,6 +183,7 @@ def find_annotated_ss(
     """
     from collections import Counter
 
+    _ensure_backend()
     import jax
     import jax.numpy as jnp
 
@@ -313,6 +331,7 @@ def find_novel_es(
     Gene uniqueness and row emission stay host-side (they need the actual
     inclusion set, computed only for hits).
     """
+    _ensure_backend()
     import jax
     import jax.numpy as jnp
 
