@@ -60,6 +60,12 @@ def _cmd_augment(argv):
         "host (pure python); auto prefers native",
     )
     ap.add_argument("-t", dest="threads", type=int, default=1, help="native parse threads")
+    ap.add_argument(
+        "--mesh",
+        default=None,
+        help="device engine mesh: N (data-parallel over N devices) or DxK "
+        "(D data shards x K node-axis count shards)",
+    )
     args = ap.parse_args(argv)
     args.thr = args.mapq if args.thr is None else args.thr
 
@@ -80,11 +86,43 @@ def _cmd_augment(argv):
     if engine == "device":
         from pantas_tpu.coverage.device import augment_gfa_device
 
-        augment_gfa_device(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr)
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from pantas_tpu.parallel.mesh import coverage_mesh, coverage_mesh_2d
+
+            if "x" in args.mesh:
+                d, k = (int(v) for v in args.mesh.split("x"))
+                mesh = coverage_mesh_2d(jax.devices()[: d * k], d, k)
+            else:
+                mesh = coverage_mesh(jax.devices()[: int(args.mesh)])
+        augment_gfa_device(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr, mesh=mesh)
         return 0
     from pantas_tpu.coverage import augment_gfa
 
     augment_gfa(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr)
+    return 0
+
+
+def _cmd_augment_dist(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu augment-dist")
+    ap.add_argument("GAF")
+    ap.add_argument("GFA")
+    ap.add_argument("-o", dest="out", required=True, help="output GFA (written by proc 0)")
+    ap.add_argument("-q", dest="mapq", type=int, default=20)
+    ap.add_argument("--coordinator", required=True, help="HOST:PORT of process 0")
+    ap.add_argument("--nprocs", type=int, required=True)
+    ap.add_argument("--procid", type=int, required=True)
+    args = ap.parse_args(argv)
+    from pantas_tpu.parallel.distributed import augment_gfa_distributed
+
+    dt = augment_gfa_distributed(
+        args.GAF, args.GFA, args.out,
+        coordinator=args.coordinator, n_procs=args.nprocs, proc_id=args.procid,
+        mapq_thr=args.mapq,
+    )
+    print(f"[augment-dist] proc {args.procid}: accumulate {dt:.2f}s", file=sys.stderr)
     return 0
 
 
@@ -514,6 +552,7 @@ def _cmd_eval(argv):
 _COMMANDS = {
     "build": _cmd_build,
     "augment": _cmd_augment,
+    "augment-dist": _cmd_augment_dist,
     "call": _cmd_call,
     "quant": _cmd_quant,
     "remap": _cmd_remap,

@@ -38,11 +38,16 @@ class SlotEncoder:
     def __init__(self, tensors: GraphTensors):
         self.t = tensors
         self.slots: List[int] = []
-        # first-seen orders for byte-identical emission
-        self.il_seen: Dict[int, Dict[int, None]] = {}
-        self.ol_seen: Dict[int, Dict[int, None]] = {}
+        # first-seen orders for byte-identical emission; the dict VALUES are
+        # the first-seen stream position (cur_pos) — unused single-process
+        # (key order carries the order), but the multi-process merge sorts
+        # by them to reconstruct the global file order
+        self.il_seen: Dict[int, Dict[int, Optional[int]]] = {}
+        self.ol_seen: Dict[int, Dict[int, Optional[int]]] = {}
         self.novel: Dict[Tuple[int, int], int] = {}
         self.novel_order: List[Tuple[int, int]] = []
+        self.novel_first: Dict[Tuple[int, int], Optional[int]] = {}
+        self.cur_pos: Optional[int] = None  # byte offset of the current record
         self.rejected = 0
         self.skipped = 0
         self.accepted = 0
@@ -56,11 +61,11 @@ class SlotEncoder:
         for name, off in ev.il:
             ni = idx[name]
             slots.append(int(t.il_base[ni]) + off + 1)
-            self.il_seen.setdefault(ni, {}).setdefault(off)
+            self.il_seen.setdefault(ni, {}).setdefault(off, self.cur_pos)
         for name, off in ev.ol:
             ni = idx[name]
             slots.append(int(t.ol_base[ni]) + off + 1)
-            self.ol_seen.setdefault(ni, {}).setdefault(off)
+            self.ol_seen.setdefault(ni, {}).setdefault(off, self.cur_pos)
         for a, b in ev.edges:
             ai, bi = idx[a], idx[b]
             e = t.edge_lookup(ai, bi)
@@ -71,6 +76,7 @@ class SlotEncoder:
                 if key not in self.novel:
                     self.novel[key] = 0
                     self.novel_order.append(key)
+                    self.novel_first[key] = self.cur_pos
                 self.novel[key] += 1
 
     def take_slots(self) -> np.ndarray:
@@ -80,27 +86,42 @@ class SlotEncoder:
 
 
 class DeviceCoverage:
-    """Accumulate a slot stream on device(s); single-chip or data-parallel."""
+    """Accumulate a slot stream on device(s).
+
+    ``mesh=None``: single chip. 1-D mesh (axis ``data``): data-parallel
+    slot shards, replicated counts, one psum. 2-D mesh (``data`` ×
+    ``node``): counts additionally sharded over the node axis (the
+    model/graph-parallel axis for whole-human graphs, SURVEY §2.4) — each
+    device owns a contiguous slot range and the psum runs over data only.
+    """
 
     def __init__(self, tensors: GraphTensors, mesh=None):
         import jax
         import jax.numpy as jnp
 
         from pantas_tpu.parallel.mesh import (
+            NODE_AXIS,
             data_parallel_scatter_add,
+            node_sharded_scatter_add,
             scatter_add_counts,
         )
 
         self.t = tensors
         self.mesh = mesh
         self._jnp = jnp
-        self.counts = jnp.zeros((tensors.total_slots,), dtype=jnp.int32)
-        if mesh is not None:
+        self._padded_slots = tensors.total_slots
+        if mesh is not None and NODE_AXIS in getattr(mesh, "shape", {}):
+            n_node = mesh.shape[NODE_AXIS]
+            self._step, shard = node_sharded_scatter_add(mesh, tensors.total_slots)
+            self._padded_slots = shard * n_node
+            self.n_shards = mesh.shape["data"]
+        elif mesh is not None:
             self.n_shards = mesh.devices.size
             self._step = data_parallel_scatter_add(mesh)
         else:
             self.n_shards = 1
             self._step = jax.jit(scatter_add_counts)
+        self.counts = jnp.zeros((self._padded_slots,), dtype=jnp.int32)
 
     def add_slots(self, slots: np.ndarray, pad_to: Optional[int] = None) -> None:
         """Accumulate a slot batch; pad to a fixed length to avoid retraces.
@@ -119,7 +140,7 @@ class DeviceCoverage:
         self.counts = self._step(self.counts, self._jnp.asarray(slots))
 
     def result(self) -> np.ndarray:
-        return np.asarray(self.counts)
+        return np.asarray(self.counts)[: self.t.total_slots]
 
 
 def counts_from_device(
@@ -247,10 +268,13 @@ def augment_gfa_device(
     flushes = 0
     with open(gaf_path, "rb") as fh:
         fh.seek(start_offset)
+        pos = start_offset
         while True:
             raw = fh.readline()
             if not raw:
                 break
+            enc.cur_pos = pos
+            pos += len(raw)
             line = raw.decode()
             if line.strip():
                 ev = read_events(parse_gaf_line(line), node_len, mapq_thr)

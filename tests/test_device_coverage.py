@@ -57,6 +57,45 @@ def test_device_mesh_invariance(tmp_path):
     assert _augment_device(gaf, gfa, mesh=mesh, flush_every=4) == host
 
 
+def test_device_mesh2d_invariance(tmp_path):
+    """2-D (data x node) mesh: counts sharded over the node axis must still
+    emit byte-identically — ownership is by slot range, psum over data."""
+    import jax
+
+    from pantas_tpu.parallel.mesh import coverage_mesh_2d
+
+    gfa, gaf = write_micro(tmp_path)
+    host = _augment_host(gaf, gfa)
+    mesh = coverage_mesh_2d(jax.devices()[:8], 4, 2)
+    assert _augment_device(gaf, gfa, mesh=mesh) == host
+    mesh = coverage_mesh_2d(jax.devices()[:8], 2, 4)
+    assert _augment_device(gaf, gfa, mesh=mesh, flush_every=4) == host
+
+
+def test_device_mesh_example_scale(tmp_path, example_graph):
+    """Example-scale (62k-node) graph through 1-D and 2-D meshes: the real
+    slot layout, real mapped alignments, byte-identical emission."""
+    import sys
+
+    import jax
+    from conftest import REFERENCE, run_cli
+
+    from pantas_tpu.parallel.mesh import coverage_mesh_2d
+
+    ex = REFERENCE / "example"
+    gaf = tmp_path / "s.gaf"
+    run_cli(
+        [sys.executable, "-m", "pantas_tpu", "map", str(example_graph),
+         str(ex / "reads_1.fq"), str(ex / "reads_2.fq")],
+        out_path=gaf,
+    )
+    host = _augment_host(str(gaf), str(example_graph))
+    mesh1 = coverage_mesh(jax.devices()[:8])
+    assert _augment_device(str(gaf), str(example_graph), mesh=mesh1) == host
+    mesh2 = coverage_mesh_2d(jax.devices()[:8], 2, 4)
+    assert _augment_device(str(gaf), str(example_graph), mesh=mesh2) == host
+
+
 def test_checkpoint_resume_reproduces_one_shot(tmp_path):
     """Crash-sim: process a truncated GAF with checkpointing, then resume on
     the full file — final output must equal the uninterrupted run."""
