@@ -126,6 +126,31 @@ def _cmd_augment_dist(argv):
     return 0
 
 
+def _cmd_compare_rtpcr(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu compare-rtpcr")
+    ap.add_argument("TRUTH")
+    ap.add_argument("PANTAS")
+    ap.add_argument("RMATS")
+    ap.add_argument("WHIPPET")
+    ap.add_argument("SUPPA")
+    ap.add_argument("--strict", action="store_true")
+    ap.add_argument("--common", action="store_true")
+    ap.add_argument("-d", "--delta", type=float, default=-1)
+    ap.add_argument("-v", "--pvalue", type=float, default=-1)
+    ap.add_argument("-p", "--prob", type=float, default=-1)
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.rtpcr import RtpcrOptions, run_compare
+
+    run_compare(
+        args.TRUTH, args.PANTAS, args.RMATS, args.WHIPPET, args.SUPPA,
+        RtpcrOptions(
+            strict=args.strict, common=args.common,
+            delta=args.delta, pvalue=args.pvalue, prob=args.prob,
+        ),
+    )
+    return 0
+
+
 def _cmd_call(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu call")
     ap.add_argument("GFA")
@@ -565,6 +590,7 @@ _COMMANDS = {
     "gaf2sam": _cmd_gaf2sam,
     "introns": _cmd_introns,
     "cmp": _cmd_cmp,
+    "compare-rtpcr": _cmd_compare_rtpcr,
     "convert-rmats": _cmd_convert_rmats,
     "convert-suppa": _cmd_convert_suppa,
     "check-coverage": _cmd_check_coverage,
