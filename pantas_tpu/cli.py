@@ -532,6 +532,10 @@ def _cmd_sim(argv):
     ap.add_argument("-l", dest="read_len", type=int, default=150)
     ap.add_argument("-e", dest="error_rate", type=float, default=0.001)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--etypes", nargs="+", default=["ES", "IR", "A3", "A5"],
+        help="event kinds to inject (ES IR A3 A5 CE)",
+    )
     args = ap.parse_args(argv)
     from pantas_tpu.eval.simulate import simulate
 
@@ -543,6 +547,7 @@ def _cmd_sim(argv):
         reads_per_isoform=args.reads,
         read_len=args.read_len,
         error_rate=args.error_rate,
+        etypes=args.etypes,
         seed=args.seed,
     )
     return 0

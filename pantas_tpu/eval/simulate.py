@@ -6,14 +6,18 @@ transcripts, derive event isoforms —
 
 * ``es``  — skip an internal exon,
 * ``ir``  — retain an intron,
-* ``a3``  — alternative acceptor (exon start shifted into the intron),
-* ``a5``  — alternative donor (exon end shifted into the intron),
+* ``a3``  — alternative acceptor (exon shortened at the acceptor edge),
+* ``a5``  — alternative donor (exon shortened at the donor edge),
+* ``ce``  — novel cassette exon inside an intron (novel w.r.t. the
+  annotation: exercises the caller's novel pass),
 
 — then sample paired-end reads from base isoforms (condition 1) and event
 isoforms (condition 2), with read names carrying provenance in the
-example-fixture style (``read{i}/{gene}_{kind};mate1:{s}-{e};...``,
-see ``example/reads_1.fq``). Truth rows record the event's defining
-linear regions for the comparator.
+ASimulatoR style (``read{i}/{gene}_{template|kind};mate1:{s}-{e};...``).
+Truth comes through two channels: the regions CSV for the comparator, and
+ASimulatoR-compatible exon_junction/event_annotation tables consumed by
+the ``sim_truth`` scripts (simrc/build_truth parity with the reference
+``exps/1-dm-sim`` truth pipeline).
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ TRUTH_HEADER = "etype,gene,transcript,chrom,strand,region1,region2,region3"
 
 @dataclass
 class SimEvent:
-    etype: str  # ES / IR / A3 / A5
+    etype: str  # ES / IR / A3 / A5 / CE
     gene: str
     tid: str
     chrom: str
@@ -39,6 +43,9 @@ class SimEvent:
     regions: List[str]  # defining linear regions "chrom:s-e"
     base_seq: str = ""
     event_seq: str = ""
+    base_exons: List[Tuple[int, int]] = field(default_factory=list)
+    event_exons: List[Tuple[int, int]] = field(default_factory=list)
+    ann_span: Optional[Tuple[int, int]] = None  # event's genomic span (ANN)
 
     def truth_row(self) -> str:
         regs = (self.regions + [".", ".", "."])[:3]
@@ -61,9 +68,11 @@ def make_event(
     """Derive one event isoform from a transcript, or None if not applicable."""
     ex = tr.exons
     chrom = tr.chrom
+    ann_span: Optional[Tuple[int, int]] = None
     if etype == "ES" and len(ex) >= 3:
         k = len(ex) // 2
         new_exons = ex[:k] + ex[k + 1 :]
+        ann_span = ex[k]  # skipped exon
         regions = [
             _intron(chrom, ex[k - 1], ex[k + 1]),  # skip junction
             _intron(chrom, ex[k - 1], ex[k]),  # inclusion 1
@@ -73,42 +82,70 @@ def make_event(
         k = len(ex) // 2 - 1
         merged = (ex[k][0], ex[k + 1][1])
         new_exons = ex[:k] + [merged] + ex[k + 2 :]
+        ann_span = (ex[k][1] + 1, ex[k + 1][0] - 1)  # retained intron
         regions = [_intron(chrom, ex[k], ex[k + 1])]  # retained intron
-    elif etype == "A3" and len(ex) >= 2:
-        # alternative acceptor: shift the start of an internal exon
-        k = len(ex) // 2
+    elif etype in ("A3", "A5") and len(ex) >= 2:
+        # alternative splice site: SHORTEN an internal exon (the variant
+        # splice site moves inside the annotated exon) — ASimulatoR's
+        # convention, so the truth-channel scripts (sim_truth.build_truth
+        # matching the reference exps/1-dm-sim/scripts/build_truth.py)
+        # consume our event annotation directly. Which exon edge moves
+        # depends on (etype, strand): the donor (A5) is the transcript-
+        # upstream edge, the acceptor (A3) the downstream one.
+        shorten_end = (etype == "A5") == (tr.strand == "+")
+        k = len(ex) // 2 - 1 if shorten_end else len(ex) // 2
         s, e = ex[k]
-        gap = s - ex[k - 1][1] - 1
-        if gap <= shift + 2 or e - s <= shift + 2:
+        if e - s <= shift + 4:
             return None
-        new_start = s - shift if tr.strand == "+" else s + shift
-        if new_start <= ex[k - 1][1] + 1 or new_start >= e:
-            return None
-        new_exons = ex[:k] + [(new_start, e)] + ex[k + 1 :]
-        regions = [
-            f"{chrom}:{ex[k - 1][1] + 1}-{new_start - 1}",  # novel intron
-            _intron(chrom, ex[k - 1], ex[k]),  # canonic intron
-        ]
-    elif etype == "A5" and len(ex) >= 2:
-        # alternative donor: shift the end of an internal exon
+        if shorten_end:
+            if k + 1 >= len(ex):
+                return None
+            new_exon = (s, e - shift)
+            removed = (e - shift + 1, e)  # ANN genomic span
+            regions = [
+                f"{chrom}:{e - shift + 1}-{ex[k + 1][0] - 1}",  # variant intron
+                _intron(chrom, ex[k], ex[k + 1]),  # canonic intron
+            ]
+        else:
+            if k == 0:
+                return None
+            new_exon = (s + shift, e)
+            removed = (s, s + shift - 1)
+            regions = [
+                f"{chrom}:{ex[k - 1][1] + 1}-{s + shift - 1}",  # variant intron
+                _intron(chrom, ex[k - 1], ex[k]),  # canonic intron
+            ]
+        new_exons = ex[:k] + [new_exon] + ex[k + 1 :]
+        ann_span = removed
+    elif etype == "CE" and len(ex) >= 2:
+        # novel cassette exon in the middle intron (always NOVEL w.r.t. the
+        # annotation: neither its junctions nor the exon exist in any
+        # transcript)
         k = len(ex) // 2 - 1
-        s, e = ex[k]
-        gap = ex[k + 1][0] - e - 1
-        if gap <= shift + 2 or e - s <= shift + 2:
+        il, ir_ = ex[k][1] + 1, ex[k + 1][0] - 1
+        if ir_ - il < 80:
             return None
-        new_end = e + shift if tr.strand == "+" else e - shift
-        if new_end >= ex[k + 1][0] - 1 or new_end <= s:
+        cs = il + (ir_ - il) // 3
+        ce_len = min(60, (ir_ - il) // 3 - 2)
+        if ce_len < 20:
             return None
-        new_exons = ex[:k] + [(s, new_end)] + ex[k + 1 :]
+        new_exons = ex[: k + 1] + [(cs, cs + ce_len - 1)] + ex[k + 1 :]
+        ann_span = (cs, cs + ce_len - 1)
         regions = [
-            f"{chrom}:{new_end + 1}-{ex[k + 1][0] - 1}",  # novel intron
-            _intron(chrom, ex[k], ex[k + 1]),  # canonic intron
+            _intron(chrom, ex[k], ex[k + 1]),  # the annotated intron spanned
+            f"{chrom}:{cs}-{cs + ce_len - 1}",  # the cassette exon
         ]
     else:
         return None
 
     base = spliced_seq(ref, ex)
     event = spliced_seq(ref, new_exons)
+    if tr.strand == "-":
+        # biological mRNA: reads sample the transcript-order sequence, so
+        # mate coordinates in read names are transcript-order offsets —
+        # the coordinate system the ASimulatoR truth channel uses
+        base = revcomp(base)
+        event = revcomp(event)
     if min(len(base), len(event)) < 400 or len(base) > 3000:
         return None
     return SimEvent(
@@ -120,6 +157,9 @@ def make_event(
         regions=regions,
         base_seq=base,
         event_seq=event,
+        base_exons=list(ex),
+        event_exons=list(new_exons),
+        ann_span=ann_span,
     )
 
 
@@ -161,6 +201,75 @@ def _sample_pairs(
         )
         fq1.append(f"@{name}\n{_mutate(m1, rng, error_rate)}\n+\n{'I' * len(m1)}")
         fq2.append(f"@{name}\n{_mutate(m2, rng, error_rate)}\n+\n{'I' * len(m2)}")
+
+
+def _tr_order(exons: Sequence[Tuple[int, int]], strand: str):
+    """Exons in TRANSCRIPT order with 0-based inclusive transcriptomic
+    spans — the coordinate system of the sampled mRNA (and therefore of
+    the mate positions in read names)."""
+    ordered = list(exons) if strand == "+" else list(reversed(exons))
+    out = []
+    pos = 0
+    for s, e in ordered:
+        n = e - s + 1
+        out.append(((s, e), (pos, pos + n - 1)))
+        pos += n
+    return out
+
+
+def _tr_pos(exons: Sequence[Tuple[int, int]], strand: str, g: int) -> int:
+    """Transcriptomic offset of genomic position ``g`` on an isoform."""
+    for (s, e), (ts, _te) in _tr_order(exons, strand):
+        if s <= g <= e:
+            return ts + (g - s if strand == "+" else e - g)
+    return 0
+
+
+def write_asim_artifacts(events: Sequence["SimEvent"], out_prefix: str) -> None:
+    """ASimulatoR-compatible truth-channel artifacts for sim_truth/simrc.
+
+    * ``{prefix}_exon_junction.tsv`` — per-isoform exon rows (chrom, start,
+      end, strand, gene, transcript, exon rank in transcript order,
+      transcriptomic span) in the 15-column layout the reference
+      ``simrc.py`` indexes;
+    * ``{prefix}_event_annotation.tsv`` — one row per event isoform with
+      its genomic + transcriptomic defining span.
+    """
+    jun = open(f"{out_prefix}_exon_junction.tsv", "w")
+    ann = open(f"{out_prefix}_event_annotation.tsv", "w")
+    jun.write(
+        "seqnames\tstart\tend\twidth\tstrand\tsource\ttype\tscore\tphase\t"
+        "gene_id\ttranscript_id\ttemplate\texon_number\ttr_start\ttr_end\n"
+    )
+    ann.write(
+        "event\ttranscript\ttemplate\tgenomic_start\tgenomic_end\t"
+        "transcriptomic_start\ttranscriptomic_end\n"
+    )
+    for ev in events:
+        if ev.ann_span is None:
+            continue
+        template = f"{ev.gene}_template"
+        variant = f"{ev.gene}_{ev.etype.lower()}"
+        for tid, exons in ((template, ev.base_exons), (variant, ev.event_exons)):
+            for rank, ((s, e), (ts, te)) in enumerate(
+                _tr_order(exons, ev.strand), start=1
+            ):
+                jun.write(
+                    f"{ev.chrom}\t{s}\t{e}\t{e - s + 1}\t{ev.strand}\t"
+                    f"sim\texon\t.\t.\t{ev.gene}\t{tid}\t{template}\t"
+                    f"{rank}\t{ts}\t{te}\n"
+                )
+        gs, ge = ev.ann_span
+        # transcriptomic span of the event within the VARIANT isoform
+        # (what simrc's retained-intron counting consumes, ir only)
+        p1 = _tr_pos(ev.event_exons, ev.strand, gs)
+        p2 = _tr_pos(ev.event_exons, ev.strand, ge)
+        ts, te = min(p1, p2), max(p1, p2)
+        ann.write(
+            f"{ev.etype.lower()}\t{variant}\t{template}\t{gs}\t{ge}\t{ts}\t{te}\n"
+        )
+    jun.close()
+    ann.close()
 
 
 def simulate(
@@ -212,20 +321,25 @@ def simulate(
         return max(8, int(depth * len(template) / (2 * read_len)))
 
     for ev in events:
-        prefix = f"{ev.gene}_{ev.etype.lower()}"
+        # ASimulatoR isoform naming: the annotated isoform is
+        # "{gene}_template", the event isoform "{gene}_{kind}" — the
+        # truth-channel scripts (sim_truth / reference simrc+build_truth)
+        # key on these suffixes
+        template_name = f"{ev.gene}_template"
+        variant_name = f"{ev.gene}_{ev.etype.lower()}"
         _sample_pairs(
-            f"{prefix}_base", ev.base_seq, n_pairs(ev.base_seq, reads_per_isoform),
+            template_name, ev.base_seq, n_pairs(ev.base_seq, reads_per_isoform),
             rng, read_len, frag_len, error_rate,
             fqs[("c1", 1)], fqs[("c1", 2)], counter,
         )
         _sample_pairs(
-            f"{prefix}_base", ev.base_seq,
+            template_name, ev.base_seq,
             n_pairs(ev.base_seq, reads_per_isoform / 2),
             rng, read_len, frag_len, error_rate,
             fqs[("c2", 1)], fqs[("c2", 2)], counter,
         )
         _sample_pairs(
-            f"{prefix}_event", ev.event_seq,
+            variant_name, ev.event_seq,
             n_pairs(ev.event_seq, reads_per_isoform / 2),
             rng, read_len, frag_len, error_rate,
             fqs[("c2", 1)], fqs[("c2", 2)], counter,
@@ -242,6 +356,7 @@ def simulate(
         fh.write(TRUTH_HEADER + "\n")
         for ev in events:
             fh.write(ev.truth_row() + "\n")
+    write_asim_artifacts(events, out_prefix)
     print(
         f"[simulate] {len(events)} events, {counter[0]} read pairs -> {out_prefix}_*",
         file=log,

@@ -53,8 +53,20 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
         t0 = time.time()
         from pantas_tpu.build.pipeline import build_pangenome
 
+        vcf = cfg["vcf"]
+        held_out = cfg.get("build", {}).get("exclude_sample")
+        if held_out:
+            # held-out-sample protocol (reference
+            # exps/1-dm-sim/workflow/rules/pantas.smk:1-10): the graph must
+            # not contain the haplotypes reads were simulated from
+            from pantas_tpu.io.vcf import write_vcf_excluding_sample
+
+            filtered = os.path.join(wd, "variants.heldout.vcf")
+            write_vcf_excluding_sample(vcf, filtered, held_out)
+            vcf = filtered
+            _log(f"build: held out sample {held_out}", log)
         build_pangenome(
-            cfg["fa"], gtf, cfg["vcf"], wd,
+            cfg["fa"], gtf, vcf, wd,
             hp=int(cfg.get("build", {}).get("hp", 0)), threads=threads, log=log,
         )
         _log(f"build: {time.time() - t0:.1f}s", log)
@@ -158,9 +170,11 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
             score,
         )
 
+        truth = parse_truth(eval_cfg["truth"])
+        called = parse_quant_remap(remap_csv)
         scores = score(
-            parse_truth(eval_cfg["truth"]),
-            parse_quant_remap(remap_csv),
+            truth,
+            called,
             relax=int(eval_cfg.get("relax", 3)),
             min_dpsi=float(eval_cfg.get("min_dpsi", 0.0)),
             min_w=float(eval_cfg.get("min_w", 0.0)),
@@ -171,4 +185,27 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
         _log(f"eval: F1={scores['ALL']['f1']:.3f} -> {scores_csv}", log)
         result["scores"] = scores
         result["scores_csv"] = scores_csv
+
+        # per-coverage-cut sweep (reference Snakefile:83-108 scores at
+        # c in {1,3,5,10,20})
+        cuts = eval_cfg.get("cuts")
+        if cuts:
+            by_cut_csv = os.path.join(wd, "scores_by_cut.csv")
+            with open(by_cut_csv, "w") as out:
+                print("cut,etype,tp,fp,fn,precision,recall,f1", file=out)
+                for cut in cuts:
+                    sc = score(
+                        truth, called,
+                        relax=int(eval_cfg.get("relax", 3)),
+                        min_dpsi=float(eval_cfg.get("min_dpsi", 0.0)),
+                        min_w=float(cut),
+                    )
+                    for etype, m in sc.items():
+                        print(
+                            f"{cut},{etype},{m['tp']},{m['fp']},{m['fn']},"
+                            f"{m['precision']:.3f},{m['recall']:.3f},{m['f1']:.3f}",
+                            file=out,
+                        )
+            result["scores_by_cut_csv"] = by_cut_csv
+            _log(f"eval: per-cut scores -> {by_cut_csv}", log)
     return result

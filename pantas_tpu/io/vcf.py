@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import gzip
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 
 @dataclass
@@ -100,3 +100,66 @@ def iter_vcf(
                 genotypes=gts,
                 phased=phased,
             )
+
+
+def write_vcf_excluding_sample(in_path: str, out_path: str, sample: str) -> None:
+    """Copy a VCF dropping one sample's genotype column.
+
+    The held-out-sample protocol of the simulation experiment (reference
+    ``exps/1-dm-sim/workflow/rules/pantas.smk:1-10``): reads are simulated
+    from a sample's haplotype consensus while the graph is built WITHOUT
+    that sample, so haplotype-awareness is tested without leakage.
+    """
+    drop: Optional[int] = None
+    out = gzip.open(out_path, "wt") if out_path.endswith(".gz") else open(out_path, "w")
+    with out:
+        with _open(in_path) as fh:
+            for line in fh:
+                if line.startswith("##"):
+                    out.write(line)
+                    continue
+                cols = line.rstrip("\n").split("\t")
+                if line.startswith("#CHROM"):
+                    if sample not in cols[9:]:
+                        raise KeyError(f"sample {sample!r} not in {in_path}")
+                    drop = cols.index(sample)
+                if drop is not None:
+                    cols = cols[:drop] + cols[drop + 1 :]
+                out.write("\t".join(cols) + "\n")
+    if drop is None:
+        raise ValueError(f"no #CHROM header in {in_path}")
+
+
+def consensus_snps(
+    ref_by_chrom: Dict[str, str], vcf_path: str, sample: str, hap: int
+) -> Dict[str, str]:
+    """Apply one haplotype's SNP alleles to the reference sequences.
+
+    SNPs only (the reference simulation uses DGRP2 SNPs with bcftools
+    consensus, ``rules/simulation.smk:1-35``): indels would shift GTF
+    coordinates, so they are skipped. ``hap`` is 1 or 2.
+    """
+    samples: List[str] = []
+    muts: Dict[str, List[Tuple[int, str]]] = {}
+    for v in iter_vcf(vcf_path, None, samples):
+        if v.chrom not in ref_by_chrom:
+            continue
+        if len(v.ref) != 1 or any(len(a) != 1 for a in v.alts):
+            continue
+        try:
+            si = samples.index(sample)
+        except ValueError:
+            raise KeyError(f"sample {sample!r} not in {vcf_path}")
+        a = v.genotypes[si][hap - 1] or 0
+        if a:
+            muts.setdefault(v.chrom, []).append((v.pos, v.alts[a - 1]))
+    out = {}
+    for chrom, seq in ref_by_chrom.items():
+        if chrom not in muts:
+            out[chrom] = seq
+            continue
+        s = list(seq)
+        for pos, alt in muts[chrom]:
+            s[pos - 1] = alt
+        out[chrom] = "".join(s)
+    return out

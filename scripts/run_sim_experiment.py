@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Simulation experiment with the held-out-sample VCF protocol.
+
+The native equivalent of the reference's ``exps/1-dm-sim`` workflow
+(``rules/pantas.smk:1-10`` + ``Snakefile:83-108``):
+
+1. build the held-out sample's SNP consensus genome (its haplotype is what
+   reads will be simulated from — the graph must NOT contain it);
+2. simulate two conditions of AS-event reads on the consensus
+   (ES/IR/A3/A5/CE, ΔPSI ≈ 0.5 signal) + both truth channels;
+3. run the full pipeline via the experiment driver with the sample's
+   genotypes EXCLUDED from the graph build;
+4. score P/R/F1 against the truth at coverage cuts {1,3,5,10,20}.
+
+Usage: python scripts/run_sim_experiment.py [workdir] [sample] [n_events]
+Writes the accuracy table to stdout (markdown) and scores under workdir.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+EXAMPLE = Path("/root/reference/example")
+
+WD = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / ".bench" / "simexp"
+SAMPLE = sys.argv[2] if len(sys.argv) > 2 else "DGRP-021"
+N_EVENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+
+def main():
+    WD.mkdir(parents=True, exist_ok=True)
+
+    # 1. held-out sample consensus (SNPs, hap 1)
+    from pantas_tpu.io.fasta import read_fasta
+    from pantas_tpu.io.vcf import consensus_snps
+
+    cons_fa = WD / "consensus.fa"
+    if not cons_fa.exists():
+        ref = read_fasta(str(EXAMPLE / "4.fa"))
+        cons = consensus_snps(ref, str(EXAMPLE / "4.vcf.gz"), SAMPLE, hap=1)
+        with open(cons_fa, "w") as fh:
+            for chrom, seq in cons.items():
+                fh.write(f">{chrom}\n")
+                for i in range(0, len(seq), 80):
+                    fh.write(seq[i : i + 80] + "\n")
+        print(f"[simexp] consensus of {SAMPLE} hap1 -> {cons_fa}", file=sys.stderr)
+
+    # 2. simulate on the consensus
+    from pantas_tpu.eval.simulate import simulate
+
+    prefix = WD / "sim"
+    if not (WD / "sim_truth.csv").exists():
+        simulate(
+            str(cons_fa), str(EXAMPLE / "4.gtf"), str(prefix),
+            n_events=N_EVENTS, reads_per_isoform=30,
+            etypes=("ES", "IR", "A3", "A5", "CE"),
+        )
+
+    # 3+4. experiment driver with the sample excluded from the build
+    cfg = {
+        "fa": str(EXAMPLE / "4.fa"),
+        "gtf": str(EXAMPLE / "4.gtf"),
+        "vcf": str(EXAMPLE / "4.vcf.gz"),
+        "workdir": str(WD / "run"),
+        "build": {"hp": 0, "exclude_sample": SAMPLE},
+        "conditions": {
+            "c1": [[f"{prefix}_c1_1.fq", f"{prefix}_c1_2.fq"]],
+            "c2": [[f"{prefix}_c2_1.fq", f"{prefix}_c2_2.fq"]],
+        },
+        "call": {"w": 3, "novel": True, "minintronsize": 20},
+        "quant": {"all": True},
+        "remap": {"min_intron_size": 20},
+        "eval": {
+            "truth": f"{prefix}_truth.csv",
+            "min_dpsi": 0.05,
+            "relax": 5,
+            "cuts": [1, 3, 5, 10, 20],
+        },
+        "threads": 2,
+    }
+    cfg_path = WD / "exp.json"
+    cfg_path.write_text(json.dumps(cfg, indent=2))
+
+    from pantas_tpu.experiment import run_experiment
+
+    result = run_experiment(str(cfg_path))
+
+    # markdown accuracy table
+    rows = [l.strip("\n").split(",") for l in open(result["scores_by_cut_csv"])][1:]
+    print(f"\n### Sim accuracy (held-out sample {SAMPLE}, {N_EVENTS} events)\n")
+    print("| cut | etype | TP | FP | FN | precision | recall | F1 |")
+    print("|---|---|---|---|---|---|---|---|")
+    for cut, etype, tp, fp, fn, p, r, f1 in rows:
+        if etype in ("ES", "CE", "IR", "A3", "A5", "ALL"):
+            print(f"| {cut} | {etype} | {tp} | {fp} | {fn} | {p} | {r} | {f1} |")
+
+
+if __name__ == "__main__":
+    main()
