@@ -126,6 +126,57 @@ def _cmd_augment_dist(argv):
     return 0
 
 
+def _cmd_parse_res(argv):
+    ap = argparse.ArgumentParser(
+        prog="pantas-tpu parse-res",
+        description="Aggregate per-tool event CSVs into res/res_mask/venn tables",
+    )
+    ap.add_argument("-o", dest="outdir", required=True)
+    ap.add_argument(
+        "--pantas", nargs="+", required=True, metavar="W=CSV",
+        help="pantas quant-remap CSVs, one per -w (e.g. 3=quant-remap.w3.csv)",
+    )
+    ap.add_argument("--rmats", required=True, help="converted rMATS CSV")
+    ap.add_argument("--suppa", required=True, help="converted SUPPA2 CSV")
+    ap.add_argument("--whippet", required=True, help="Whippet .diff")
+    ap.add_argument("--min-dpsi", type=float, default=0.0)
+    ap.add_argument("--relax", type=int, default=4)
+    args = ap.parse_args(argv)
+    import os
+
+    from pantas_tpu.eval.aggregate import (
+        aggregate,
+        parse_pantas_csv,
+        parse_rmats_csv,
+        parse_suppa_csv,
+        parse_whippet_diff,
+        venn_counts,
+        write_res_csvs,
+    )
+
+    pantas = {}
+    for spec in args.pantas:
+        w, _, path = spec.partition("=")
+        pantas[w] = parse_pantas_csv(path, args.min_dpsi)
+    cols, rows = aggregate(
+        pantas,
+        parse_rmats_csv(args.rmats, args.min_dpsi),
+        parse_suppa_csv(args.suppa, args.min_dpsi),
+        parse_whippet_diff(args.whippet, args.min_dpsi),
+        relax=args.relax,
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    write_res_csvs(
+        cols, rows,
+        os.path.join(args.outdir, "res.csv"),
+        os.path.join(args.outdir, "res_mask.csv"),
+    )
+    with open(os.path.join(args.outdir, "venn_counts.csv"), "w") as out:
+        venn_counts(cols, rows, out)
+    print(f"[parse-res] {len(rows)} events -> {args.outdir}", file=sys.stderr)
+    return 0
+
+
 def _cmd_compare_rtpcr(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu compare-rtpcr")
     ap.add_argument("TRUTH")
@@ -596,6 +647,7 @@ _COMMANDS = {
     "introns": _cmd_introns,
     "cmp": _cmd_cmp,
     "compare-rtpcr": _cmd_compare_rtpcr,
+    "parse-res": _cmd_parse_res,
     "convert-rmats": _cmd_convert_rmats,
     "convert-suppa": _cmd_convert_suppa,
     "check-coverage": _cmd_check_coverage,
