@@ -224,7 +224,7 @@ def write_annotated_gfa(
             w(f"L\t{a}\t+\t{b}\t+\t*\n")
 
     # reference path (possibly split into kept sub-paths), then transcripts
-    if keep_nodes is None:
+    if keep_nodes is None or all(kept(n) for n in g.ref_path):
         _write_path(out, g.chrom, g.ref_path)
     else:
         sub: List[int] = []

@@ -28,6 +28,32 @@ from pantas_tpu.io.gtf import chromosomes, parse_transcript_models
 from pantas_tpu.io.vcf import read_vcf
 
 
+def prune_keep_nodes(graph, ptx) -> set:
+    """Restore-compatible prune set for hp=0: the native analogue of
+    ``vg prune --restore-paths`` (reference ``build/build.smk:165-178``).
+
+    vg prunes complex regions then restores everything on GBWT-threaded
+    paths; the net graph keeps reference + carried haplotype + transcript
+    material and drops unthreaded complexity. Here that is exactly: the
+    reference path, every emitted transcript copy, and the alternate
+    chains of alleles CARRIED by at least one haplotype — alt nodes of
+    alleles nobody carries are the unthreaded material and are dropped.
+    """
+    import numpy as np
+
+    keep = set(graph.ref_path)
+    for c in ptx.copies:
+        keep.update(c.path)
+    A = ptx.alleles
+    if A is not None and A.size:
+        for si, site in enumerate(graph.sites):
+            for a in np.unique(A[:, si]):
+                a = int(a)
+                if a > 0 and a in site.alt_nodes:
+                    keep.update(site.alt_nodes[a])
+    return keep
+
+
 def build_chromosome(
     chrom: str,
     fa_path: str,
@@ -37,6 +63,7 @@ def build_chromosome(
     hp: int = 0,
     max_node_len: int = DEFAULT_MAX_NODE_LEN,
     w_lines: bool = False,
+    prune: bool = True,
     log=sys.stderr,
 ) -> str:
     t0 = time.time()
@@ -63,6 +90,13 @@ def build_chromosome(
     keep = None
     if hp == 2:
         keep = transcript_intervals([c.path for c in ptx.copies])
+    elif hp == 0 and prune:
+        keep = prune_keep_nodes(graph, ptx)
+        dropped = graph.n_nodes() - len(keep)
+        if dropped:
+            print(f"[build:{chrom}] prune: dropped {dropped} unthreaded nodes", file=log)
+        else:
+            keep = None  # fully threaded graph: pruning is a no-op
 
     os.makedirs(os.path.dirname(out_gfa), exist_ok=True)
     with open(out_gfa, "w") as fh:
@@ -90,6 +124,7 @@ def build_pangenome(
     max_node_len: int = DEFAULT_MAX_NODE_LEN,
     w_lines: bool = False,
     chroms: Optional[List[str]] = None,
+    prune: bool = True,
     log=sys.stderr,
 ) -> str:
     os.makedirs(outdir, exist_ok=True)
@@ -105,6 +140,7 @@ def build_pangenome(
             hp,
             max_node_len,
             w_lines,
+            prune,
         )
         for c in chroms
     ]

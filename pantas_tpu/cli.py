@@ -33,6 +33,10 @@ def _cmd_build(argv):
     ap.add_argument("-t", dest="threads", type=int, default=8)
     ap.add_argument("-m", dest="max_node_len", type=int, default=32,
                     help="maximum node length (default 32, vg-compatible)")
+    ap.add_argument("--no-prune", dest="no_prune", action="store_true",
+                    help="keep alt nodes of alleles no haplotype carries "
+                    "(hp=0 default prunes them, matching vg prune "
+                    "--restore-paths semantics)")
     ap.add_argument("--w-lines", dest="w_lines", action="store_true",
                     help="emit haplotype transcript walks as GFA 1.1 W lines")
     args = ap.parse_args(argv)
@@ -42,6 +46,7 @@ def _cmd_build(argv):
     build_pangenome(
         args.FA, args.GTF, args.VCF, args.outdir, hp=hp, threads=args.threads,
         max_node_len=args.max_node_len, w_lines=args.w_lines,
+        prune=not args.no_prune,
     )
     return 0
 
