@@ -131,6 +131,40 @@ def _cmd_augment_dist(argv):
     return 0
 
 
+def _cmd_filter_reads(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu filter-reads")
+    ap.add_argument("FQ1")
+    ap.add_argument("FQ2")
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.exps_helpers import filter_reads
+
+    o1, o2 = filter_reads(args.FQ1, args.FQ2, seed=args.seed)
+    print(f"[filter-reads] -> {o1} {o2}", file=sys.stderr)
+    return 0
+
+
+def _cmd_fix_vidx(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu fix-vidx")
+    ap.add_argument("VCF", nargs="?", default=None, help="VCF (default stdin)")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.exps_helpers import fix_vidx
+
+    fh = open(args.VCF) if args.VCF else sys.stdin
+    fix_vidx(fh)
+    return 0
+
+
+def _cmd_clean_gtf(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu clean-gtf")
+    ap.add_argument("GTF")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.exps_helpers import clean_gtf
+
+    clean_gtf(args.GTF)
+    return 0
+
+
 def _cmd_parse_res(argv):
     ap = argparse.ArgumentParser(
         prog="pantas-tpu parse-res",
@@ -653,6 +687,9 @@ _COMMANDS = {
     "cmp": _cmd_cmp,
     "compare-rtpcr": _cmd_compare_rtpcr,
     "parse-res": _cmd_parse_res,
+    "filter-reads": _cmd_filter_reads,
+    "fix-vidx": _cmd_fix_vidx,
+    "clean-gtf": _cmd_clean_gtf,
     "convert-rmats": _cmd_convert_rmats,
     "convert-suppa": _cmd_convert_suppa,
     "check-coverage": _cmd_check_coverage,

@@ -1,14 +1,19 @@
-"""FASTQ-only SeqIO.parse stub: yields records exposing ``.name`` with
-biopython's semantics (first whitespace token of the header, sans '@')."""
+"""FASTQ-only SeqIO stub: parse yields records with biopython's .id/.name
+semantics (first whitespace token of the header); write re-emits fastq
+with the record's description as header."""
+
+from Bio.Seq import Seq
 
 
 class _Record:
-    __slots__ = ("name", "id", "seq")
+    __slots__ = ("id", "name", "description", "seq", "qual")
 
-    def __init__(self, name, seq):
-        self.name = name
-        self.id = name
-        self.seq = seq
+    def __init__(self, desc, seq, qual):
+        self.description = desc
+        self.id = desc.split(" ")[0]
+        self.name = self.id
+        self.seq = Seq(seq) if not isinstance(seq, Seq) else seq
+        self.qual = qual
 
 
 def parse(path, fmt):
@@ -20,5 +25,11 @@ def parse(path, fmt):
                 break
             seq = fh.readline().strip()
             fh.readline()
-            fh.readline()
-            yield _Record(header[1:].strip().split(" ")[0].split("\t")[0], seq)
+            qual = fh.readline().strip()
+            yield _Record(header[1:].rstrip("\n"), seq, qual)
+
+
+def write(record, handle, fmt):
+    assert fmt == "fastq"
+    handle.write(f"@{record.description}\n{record.seq}\n+\n{record.qual}\n")
+    return 1

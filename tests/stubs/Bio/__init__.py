@@ -1,2 +1,2 @@
-"""Minimal biopython stub (SeqIO.parse over fastq only) for running the
-reference's simrc.py in differential tests."""
+"""Minimal biopython stub (SeqIO fastq parse/write + Seq) for running the
+reference's simrc.py / filter_reads.py in differential tests."""
