@@ -1,12 +1,20 @@
 #!/usr/bin/env python3
-"""Synthetic-scale build stress test: bigger-than-example inputs, no vg data
-needed. Generates a random chromosome + SNP VCF + multi-exon GTF, runs the
-full build, and reports stage timing — a guard against superlinear blowups.
+"""Synthetic-scale build rehearsal: bigger-than-example inputs, no vg data
+needed. Generates random chromosomes + SNP VCF + multi-exon GTF, runs the
+full build (per-chromosome scatter + combine), reports per-stage timing and
+PEAK RSS — the native answer to the reference's >256 GB GCSA2 memory
+anchor (``build/build.smk:10-12``) — and finally compiles the combined
+graph to tensors and drives the node-sharded counts layout over it.
 
-Usage: python scripts/stress_build.py [mbp] [n_variants] [n_genes] [n_samples]
+Usage:
+  python scripts/stress_build.py [mbp] [n_variants] [n_genes] [n_samples] [n_chroms] [threads]
+
+Defaults: 10 Mbp, 50k SNPs, 400 genes, 20 samples, 1 chromosome, 1 thread.
+The round-2 rehearsal configuration: 100 1000000 4000 100 4 2.
 """
 
-import random
+import json
+import resource
 import sys
 import time
 from pathlib import Path
@@ -17,65 +25,162 @@ MBP = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
 N_VAR = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
 N_GENES = int(sys.argv[3]) if len(sys.argv) > 3 else 400
 N_SAMPLES = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+N_CHROMS = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+THREADS = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+
+
+def log(msg):
+    print(f"[stress] {msg}", file=sys.stderr, flush=True)
+
+
+def rss_gb():
+    self_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    child_rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    return max(self_rss, child_rss) / 1e6
+
+
+def gen_inputs(wd: Path):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    L = int(MBP * 1e6) // N_CHROMS
+    bases = np.frombuffer(b"ACGT", dtype="S1")
+
+    genes_per_chrom = N_GENES // N_CHROMS
+    vars_per_chrom = N_VAR // N_CHROMS
+
+    fa = open(wd / "g.fa", "w")
+    gtf = open(wd / "g.gtf", "w")
+    vcf = open(wd / "g.vcf", "w")
+    vcf.write("##fileformat=VCFv4.2\n")
+    vcf.write(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(f"s{i}" for i in range(N_SAMPLES))
+        + "\n"
+    )
+    alt_of = {"A": "G", "C": "T", "G": "A", "T": "C"}
+    for ci in range(N_CHROMS):
+        chrom = f"chr{ci}"
+        seq_arr = bases[rng.integers(0, 4, size=L)]
+        seq = seq_arr.tobytes().decode()
+        fa.write(f">{chrom}\n")
+        for i in range(0, L, 10000):
+            fa.write(seq[i : i + 10000] + "\n")
+
+        span = L // (genes_per_chrom + 1)
+        for gi in range(genes_per_chrom):
+            gstart = span * (gi + 1)
+            exons = [
+                (gstart + k * 500 + 1, gstart + k * 500 + 200) for k in range(5)
+            ]
+            for t in (1, 2):
+                tid = f"T{ci}_{gi}_{t}"
+                ex = exons if t == 1 else exons[:2] + exons[3:]
+                gtf.write(
+                    "\t".join(
+                        [chrom, "s", "transcript", str(ex[0][0]), str(ex[-1][1]),
+                         ".", "+", ".",
+                         f'gene_id "G{ci}_{gi}"; transcript_id "{tid}";']) + "\n")
+                for s, e in ex:
+                    gtf.write(
+                        "\t".join(
+                            [chrom, "s", "exon", str(s), str(e), ".", "+", ".",
+                             f'gene_id "G{ci}_{gi}"; transcript_id "{tid}";']) + "\n")
+
+        positions = np.sort(
+            rng.choice(np.arange(1, L + 1), size=vars_per_chrom, replace=False)
+        )
+        # genotype block: 1000G-like allele frequency mix
+        afs = rng.choice([0.02, 0.05, 0.15, 0.4], size=vars_per_chrom)
+        h = rng.random((vars_per_chrom, 2 * N_SAMPLES)) < afs[:, None]
+        gt_chars = np.where(h, "1", "0")
+        for vi, pos in enumerate(positions):
+            ref = seq[pos - 1]
+            row = gt_chars[vi]
+            gts = "\t".join(
+                row[2 * s] + "|" + row[2 * s + 1] for s in range(N_SAMPLES)
+            )
+            vcf.write(f"{chrom}\t{pos}\tv{ci}_{vi}\t{ref}\t{alt_of[ref]}\t.\t.\t.\tGT\t{gts}\n")
+    fa.close()
+    gtf.close()
+    vcf.close()
 
 
 def main():
     import tempfile
 
-    rng = random.Random(11)
-    L = int(MBP * 1e6)
     wd = Path(tempfile.mkdtemp(prefix="stress_"))
-    print(f"[stress] generating {MBP} Mbp, {N_VAR} variants, {N_GENES} genes, "
-          f"{N_SAMPLES} samples -> {wd}", file=sys.stderr)
-
-    seq = "".join(rng.choice("ACGT") for _ in range(L))
-    (wd / "g.fa").write_text(">chrS\n" + "\n".join(
-        seq[i : i + 80] for i in range(0, L, 80)
-    ) + "\n")
-
-    # genes: 5 exons of 200bp separated by 300bp introns, spaced evenly
-    gtf = []
-    span = L // (N_GENES + 1)
-    for gi in range(N_GENES):
-        gstart = span * (gi + 1)
-        exons = [(gstart + k * 500 + 1, gstart + k * 500 + 200) for k in range(5)]
-        for t in (1, 2):
-            tid = f"T{gi}_{t}"
-            ex = exons if t == 1 else exons[:2] + exons[3:]  # isoform 2 skips exon 3
-            gtf.append("\t".join(
-                ["chrS", "s", "transcript", str(ex[0][0]), str(ex[-1][1]), ".", "+",
-                 ".", f'gene_id "G{gi}"; transcript_id "{tid}";']))
-            for s, e in ex:
-                gtf.append("\t".join(
-                    ["chrS", "s", "exon", str(s), str(e), ".", "+", ".",
-                     f'gene_id "G{gi}"; transcript_id "{tid}";']))
-    (wd / "g.gtf").write_text("\n".join(gtf) + "\n")
-
-    positions = sorted(rng.sample(range(1, L + 1), N_VAR))
-    rows = ["##fileformat=VCFv4.2",
-            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
-            + "\t".join(f"s{i}" for i in range(N_SAMPLES))]
-    for vi, pos in enumerate(positions):
-        ref = seq[pos - 1]
-        alt = rng.choice([b for b in "ACGT" if b != ref])
-        gts = "\t".join(
-            f"{rng.random() < 0.15 and 1 or 0}|{rng.random() < 0.15 and 1 or 0}"
-            for _ in range(N_SAMPLES)
-        )
-        rows.append(f"chrS\t{pos}\tv{vi}\t{ref}\t{alt}\t.\t.\t.\tGT\t{gts}")
-    (wd / "g.vcf").write_text("\n".join(rows) + "\n")
+    log(
+        f"generating {MBP} Mbp over {N_CHROMS} chroms, {N_VAR} variants, "
+        f"{N_GENES} genes, {N_SAMPLES} samples -> {wd}"
+    )
+    t0 = time.time()
+    gen_inputs(wd)
+    gen_s = time.time() - t0
+    log(f"inputs: {gen_s:.1f}s (RSS {rss_gb():.1f} GB)")
 
     from pantas_tpu.build.pipeline import build_pangenome
 
     t0 = time.time()
-    out = build_pangenome(str(wd / "g.fa"), str(wd / "g.gtf"), str(wd / "g.vcf"),
-                          str(wd / "out"), threads=1)
+    out = build_pangenome(
+        str(wd / "g.fa"), str(wd / "g.gtf"), str(wd / "g.vcf"),
+        str(wd / "out"), threads=THREADS,
+    )
     dt = time.time() - t0
-    n_s = sum(1 for line in open(out) if line[0] == "S")
-    n_p = sum(1 for line in open(out) if line[0] == "P")
-    print(f"[stress] build: {dt:.1f}s — {n_s} nodes, {n_p} paths "
-          f"({MBP / dt:.2f} Mbp/s)", file=sys.stderr)
-    print(f'{{"mbp": {MBP}, "build_s": {dt:.1f}, "nodes": {n_s}, "paths": {n_p}}}')
+    n_s = n_l = n_p = 0
+    for line in open(out):
+        c = line[0]
+        n_s += c == "S"
+        n_l += c == "L"
+        n_p += c == "P"
+    size_gb = Path(out).stat().st_size / 1e9
+    log(
+        f"build: {dt:.1f}s — {n_s} nodes, {n_l} edges, {n_p} paths, "
+        f"{size_gb:.2f} GB GFA ({MBP / dt:.2f} Mbp/s), peak RSS {rss_gb():.1f} GB"
+    )
+
+    # node-sharded counts layout over the real graph (8 virtual devices)
+    import os
+
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from pantas_tpu.graph.compiler import compile_gfa
+    from pantas_tpu.parallel.mesh import (
+        coverage_mesh_2d,
+        node_sharded_scatter_add,
+        pad_to_multiple,
+    )
+
+    t0 = time.time()
+    tensors = compile_gfa(out)
+    log(f"tensorize: {time.time() - t0:.1f}s — {tensors.total_slots} count slots")
+    mesh = coverage_mesh_2d(jax.devices()[:8], 2, 4)
+    step, shard = node_sharded_scatter_add(mesh, tensors.total_slots)
+    import jax.numpy as jnp
+
+    counts = jnp.zeros((shard * 4,), dtype=jnp.int32)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(pad_to_multiple(
+        rng.integers(0, tensors.total_slots, size=1 << 22, dtype=np.int32), 2
+    ))
+    t0 = time.time()
+    stepped = step(counts, idx)
+    stepped.block_until_ready()
+    log(f"node-sharded scatter (2x4 mesh, 4M idx): {time.time() - t0:.1f}s")
+
+    print(json.dumps({
+        "mbp": MBP, "variants": N_VAR, "samples": N_SAMPLES,
+        "chroms": N_CHROMS, "threads": THREADS,
+        "gen_s": round(gen_s, 1), "build_s": round(dt, 1),
+        "mbp_per_s": round(MBP / dt, 2), "nodes": n_s, "edges": n_l,
+        "paths": n_p, "gfa_gb": round(size_gb, 2),
+        "peak_rss_gb": round(rss_gb(), 1),
+        "slots": int(tensors.total_slots),
+    }))
 
 
 if __name__ == "__main__":
