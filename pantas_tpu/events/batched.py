@@ -1,4 +1,12 @@
-"""Batched junction-pattern matching on device (annotated ES + A3/A5).
+"""Batched junction-pattern matching on device.
+
+Families evaluated as device bitset/rank ops: annotated ES, A3, A5, IR
+(first-hit pair selection), novel ES, novel exonic A3/A5, novel CE — 8 of
+the 9 event families. Novel IR (bounded greedy intron walks,
+``call.py:837-893,985-1102``) and the intronic-SS frontier search
+(``call.py:728-835``) stay on the reference-exact host enumerator: both
+are per-junction bounded graph walks with data-dependent length, the shape
+XLA cannot batch and the reference's own profile spends no time in.
 
 The host caller (:mod:`caller`) enumerates events with reference-exact
 control flow. This module provides the tensorized formulation of the same
@@ -30,7 +38,8 @@ multisets in tests (identical hits on every fixture).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Set, Tuple
+from itertools import product
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -40,6 +49,8 @@ from pantas_tpu.events.caller import (
     SplicingGraph,
     _exon_label_th,
     _genes_of_hts,
+    _same_gene_exons_cached,
+    tkeys_of_exons,
 )
 
 
@@ -379,6 +390,260 @@ def find_novel_es(
     return {c for c, h in zip(cands, hits) if h}
 
 
+def find_annotated_ir(
+    graph: SplicingGraph,
+    t2g: Dict[str, str],
+    rca: int = -1,
+) -> Dict[Jct, Tuple[str, str]]:
+    """Annotated-IR first-hit pairs as device bitset ops.
+
+    The host caller (reference ``call.py:465-524``) scans
+    ``product(out(J.head), inc(J.tail))`` and BREAKS on the first pair
+    whose exon intersection with the junction's common gene-filtered exons
+    is non-empty. Here every candidate pair evaluates at once —
+    ``E[n1] & E[n2] & EJ[J] != 0`` — and the first hit in the same product
+    order is returned per junction; the emission loop
+    (:func:`caller._call_annotated` with ``ir_oracle``) recomputes the
+    exact sets and walks the intron subpath only for that pair.
+    """
+    _ensure_backend()
+    import jax
+    import jax.numpy as jnp
+
+    e_vocab: Dict[str, int] = {}
+
+    def e_id(e: str) -> int:
+        return e_vocab.setdefault(e, len(e_vocab))
+
+    cands: List[Tuple[Jct, str, str]] = []  # product order within each J
+    cand_row: List[int] = []
+    ej_sets: List[Set[int]] = []
+    cand_nodes: Set[str] = set()
+    for J in sorted(graph.junctions):
+        if graph.rc(J) < rca:
+            continue
+        genes = graph.jn_genes(J, t2g)  # same KeyError semantics as host
+        if len(genes) > 1:
+            continue
+        exons = _same_gene_exons_cached(
+            graph, J[0], genes, t2g
+        ) & _same_gene_exons_cached(graph, J[1], genes, t2g)
+        if not exons:
+            continue
+        row = len(ej_sets)
+        ej_sets.append({e_id(e) for e in exons})
+        for n1, n2 in product(graph.out(J[0]), graph.inc(J[1])):
+            if n1 == J[1] or n2 == J[0]:
+                continue
+            if n2 < n1:  # QUIRK parity: lexicographic on string ids
+                continue
+            cands.append((J, n1, n2))
+            cand_row.append(row)
+            cand_nodes.add(n1)
+            cand_nodes.add(n2)
+    if not cands:
+        return {}
+
+    # node exon bitsets restricted to the (frozen) junction-exon vocab —
+    # a label outside every EJ row can never fire the AND
+    n_index = {n: i for i, n in enumerate(sorted(cand_nodes))}
+    node_rows: List[Set[int]] = [set() for _ in n_index]
+    for n, i in n_index.items():
+        node_rows[i] = {
+            e_vocab[e] for e in graph.exset(n) if e in e_vocab
+        }
+    E = jnp.asarray(_bitset_matrix(node_rows, len(e_vocab)))
+    EJ = jnp.asarray(_bitset_matrix(ej_sets, len(e_vocab)))
+    n1s = np.asarray([n_index[c[1]] for c in cands], dtype=np.int32)
+    n2s = np.asarray([n_index[c[2]] for c in cands], dtype=np.int32)
+    rows = np.asarray(cand_row, dtype=np.int32)
+
+    @jax.jit
+    def match(E, EJ, n1s, n2s, rows):
+        return jnp.any((E[n1s] & E[n2s] & EJ[rows]) != 0, axis=1)
+
+    hits = np.asarray(
+        match(E, EJ, jnp.asarray(n1s), jnp.asarray(n2s), jnp.asarray(rows))
+    )
+    out: Dict[Jct, Tuple[str, str]] = {}
+    for (J, n1, n2), h in zip(cands, hits):
+        if h and J not in out:  # first hit in product order wins (host break)
+            out[J] = (n1, n2)
+    return out
+
+
+def find_novel_ss_exonic(
+    graph: SplicingGraph,
+    t2g: Dict[str, str],
+    opts: CallOptions,
+) -> Set[Tuple[Jct, int, str]]:
+    """Novel exonic A3/A5 hit keys ``(J, block, node)`` as device bitset ops.
+
+    Block 1 (reference ``call.py:685-723``): the novel junction splices into
+    the body of an exon reachable on its tail side; candidates are annotated
+    successors ``n`` of ``J.head``. Block 2 (``call.py:724-763``): mirror on
+    the head side; candidates are annotated predecessors ``p`` of ``J.tail``.
+    The predicate per candidate is
+
+        exset(node) ∩ spliced_exons[J, block] ∩ labels(cap[J])  ≠  ∅
+
+    where ``cap`` is the transcript-key intersection of the junction's two
+    exonic ends and ``labels(cap)`` expands those transcripts back to exon
+    labels — one ``E[n] & S[row] & C[row]`` AND-reduce per candidate.
+
+    QUIRK parity: ``spliced_exons`` depends on the reference's leaked loop
+    variable ``p`` (``call.py:630,685``), whose trajectory is replicated
+    here sequentially (cheap — one assignment per junction); the expensive
+    per-candidate set algebra is what batches onto the device.
+    """
+    _ensure_backend()
+    import jax
+    import jax.numpy as jnp
+
+    g = graph
+    e_vocab: Dict[str, int] = {}
+
+    def e_id(e: str) -> int:
+        return e_vocab.setdefault(e, len(e_vocab))
+
+    cands: List[Tuple[Jct, int, str]] = []
+    cand_row: List[int] = []
+    rows_spliced: List[Set[int]] = []
+    rows_cap: List[Set[str]] = []  # transcript keys; expanded after vocab
+    cand_nodes: Set[str] = set()
+
+    def add_row(spliced: Set[str], cap: Set[str]) -> int:
+        rows_spliced.append({e_id(e) for e in spliced})
+        rows_cap.append(cap)
+        return len(rows_spliced) - 1
+
+    p: Optional[str] = None  # QUIRK: leaked loop variable trajectory
+    for _j in g.novel_junctions:
+        if opts.junction is not None and f"{_j[0]}-{_j[1]}" != opts.junction:
+            continue
+        if g.rc(_j) < opts.rca:
+            continue
+        _exons0 = g.exset(_j[0])
+        _exons1 = g.exset(_j[1])
+        if len(_exons0) == 0 and len(_exons1) == 0:
+            continue
+        cap = tkeys_of_exons(_exons0) & tkeys_of_exons(_exons1)
+        if not cap:
+            continue  # p is only ever assigned inside the cap-gated blocks
+        _next0 = g.out(_j[0])
+        _prev1 = g.inc(_j[1])
+
+        # block 1 — spliced into J.tail's exon body
+        spliced: Set[str] = set()
+        if _j[0] in g.inc(_j[1]):
+            spliced = _exons1
+        elif _prev1:
+            p = _prev1[-1]  # host loop keeps only the last iteration
+            spliced = g.exset(p) & _exons1
+        if spliced:
+            row = add_row(spliced, cap)
+            for n in _next0:
+                if (_j[0], n) in g.junctions:
+                    cands.append((_j, 1, n))
+                    cand_row.append(row)
+                    cand_nodes.add(n)
+
+        # block 2 — mirror on the head side (uses the leaked p)
+        spliced2: Set[str] = set()
+        if _j[1] in g.out(_j[0]):
+            spliced2 = _exons0
+        elif _next0:
+            spliced2 = g.exset(p) & _exons0
+        if spliced2:
+            row = add_row(spliced2, cap)
+            for q in _prev1:
+                if (q, _j[1]) in g.junctions:
+                    cands.append((_j, 2, q))
+                    cand_row.append(row)
+                    cand_nodes.add(q)
+            if _prev1:
+                p = _prev1[-1]  # host's annotated_js loop reassigns p
+    if not cands:
+        return set()
+
+    # cap expansion over the frozen vocab: a label can only fire if it is
+    # in some spliced row, so vocab-restricted node/cap rows are exact
+    t2e: Dict[str, Set[int]] = {}
+    for e, i in e_vocab.items():
+        t2e.setdefault(_exon_label_th(e)[0], set()).add(i)
+    cap_rows = [
+        set().union(*(t2e.get(t, set()) for t in cap)) if cap else set()
+        for cap in rows_cap
+    ]
+    n_index = {n: i for i, n in enumerate(sorted(cand_nodes))}
+    node_rows: List[Set[int]] = [set() for _ in n_index]
+    for n, i in n_index.items():
+        node_rows[i] = {e_vocab[e] for e in g.exset(n) if e in e_vocab}
+
+    vocab = len(e_vocab)
+    E = jnp.asarray(_bitset_matrix(node_rows, vocab))
+    S = jnp.asarray(_bitset_matrix(rows_spliced, vocab))
+    C = jnp.asarray(_bitset_matrix(cap_rows, vocab))
+    nn = np.asarray([n_index[c[2]] for c in cands], dtype=np.int32)
+    rr = np.asarray(cand_row, dtype=np.int32)
+
+    @jax.jit
+    def match(E, S, C, nn, rr):
+        return jnp.any((E[nn] & S[rr] & C[rr]) != 0, axis=1)
+
+    hits = np.asarray(match(E, S, C, jnp.asarray(nn), jnp.asarray(rr)))
+    return {c for c, h in zip(cands, hits) if h}
+
+
+def find_novel_ce(
+    graph: SplicingGraph,
+    opts: CallOptions,
+) -> Dict[Jct, Set[Tuple[str, str]]]:
+    """Novel-CE ``(exon_start, exon_end)`` pairs per annotated junction.
+
+    Reference ``call.py:954-984``: for annotated junction J flanked by
+    novel junctions on both ends, every product pair with
+    ``j1.tail <= j2.head`` (lexicographic) names a candidate cassette exon.
+    The comparison batches as a rank compare over the lexicographically
+    sorted node-id table; the emission loop applies its own gene/rc gates.
+    """
+    _ensure_backend()
+    import jax
+    import jax.numpy as jnp
+
+    cands: List[Tuple[Jct, str, str]] = []
+    for J in sorted(graph.junctions):
+        if opts.junction is not None and f"{J[0]}-{J[1]}" != opts.junction:
+            continue
+        if graph.rc(J) < opts.rca:
+            continue
+        Js1 = graph.nj_by_head.get(J[0], graph._empty_j) - {J}
+        Js2 = graph.nj_by_tail.get(J[1], graph._empty_j) - {J}
+        if Js1 and Js2:
+            for j1 in sorted(Js1):
+                for j2 in sorted(Js2):
+                    cands.append((J, j1[1], j2[0]))
+    if not cands:
+        return {}
+
+    rank = {
+        s: i for i, s in enumerate(sorted({x for c in cands for x in c[1:]}))
+    }
+    a = np.asarray([rank[c[1]] for c in cands], dtype=np.int32)
+    b = np.asarray([rank[c[2]] for c in cands], dtype=np.int32)
+
+    @jax.jit
+    def match(a, b):
+        return a <= b
+
+    hits = np.asarray(match(jnp.asarray(a), jnp.asarray(b)))
+    out: Dict[Jct, Set[Tuple[str, str]]] = {}
+    for (J, es, ee), h in zip(cands, hits):
+        if h:
+            out.setdefault(J, set()).add((es, ee))
+    return out
+
+
 def call_events_device(
     gfa_path: str,
     gtf_path: str,
@@ -386,14 +651,18 @@ def call_events_device(
     log=None,
     graph: Optional[SplicingGraph] = None,
 ):
-    """Device-batched call engine: annotated ES + A3/A5 evaluate as packed-
-    bitset gathers on device (:func:`find_annotated_es` /
-    :func:`find_annotated_ss`); annotated IR (irregular bounded path
-    reconstruction) and the novel pass stay on the reference-exact host
-    enumerator. Emits the same row MULTISET as the host caller — row order
-    follows sorted candidate order instead of Python set iteration, which
-    is within the equality contract (the reference's own row order is
-    hash-seed dependent, ``call.py:240,531``).
+    """Device-batched call engine.
+
+    Annotated ES/A3/A5, annotated-IR pair selection, novel ES, novel
+    exonic A3/A5, and novel CE evaluate as packed-bitset / rank ops on
+    device (:func:`find_annotated_es`, :func:`find_annotated_ss`,
+    :func:`find_annotated_ir`, :func:`find_novel_es`,
+    :func:`find_novel_ss_exonic`, :func:`find_novel_ce`); the remaining
+    irregular pieces (intron subpath walks, intronic-SS frontier search,
+    novel IR) stay on the reference-exact host enumerator, consuming the
+    device hit oracles. Emits the same row MULTISET as the host caller —
+    row order may differ, which is within the equality contract (the
+    reference's own row order is hash-seed dependent, ``call.py:240,531``).
     """
     import sys
     from dataclasses import replace
@@ -474,7 +743,8 @@ def call_events_device(
         if "IR" in opts.events:
             ir_opts = replace(opts, events=["IR"])
             yield from _call_annotated(
-                graph, t2g, genestrand, genechr, ir_opts, log
+                graph, t2g, genestrand, genechr, ir_opts, log,
+                ir_oracle=find_annotated_ir(graph, t2g, rca=opts.rca),
             )
     if opts.novel:
         if "ES" in opts.events:
@@ -514,9 +784,19 @@ def call_events_device(
                     ">".join(j2),
                     graph.rc(j2),
                 )
+        ss_oracle = (
+            find_novel_ss_exonic(graph, t2g, opts)
+            if "SS" in opts.events
+            else None
+        )
+        ce_oracle = (
+            find_novel_ce(graph, opts) if "ES" in opts.events else None
+        )
         yield from _call_novel(
             graph, t2g, genestrand, genechr, opts, log,
             emit_novel_es="ES" not in opts.events,
+            ss_oracle=ss_oracle,
+            ce_oracle=ce_oracle,
         )
 
 

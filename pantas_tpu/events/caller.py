@@ -421,8 +421,20 @@ def _same_gene_exons_cached(g: SplicingGraph, nid: str, genes: Set[str], t2g) ->
 
 
 def _call_annotated(
-    g: SplicingGraph, t2g, genestrand, genechr, opts: CallOptions, log
+    g: SplicingGraph,
+    t2g,
+    genestrand,
+    genechr,
+    opts: CallOptions,
+    log,
+    ir_oracle: Optional[Dict[Jct, Tuple[str, str]]] = None,
 ) -> Iterator[str]:
+    """``ir_oracle`` (device engine): maps a junction to the FIRST
+    ``(n1, n2)`` pair — in the reference's ``product(nnext, nprev)`` order —
+    whose exon intersection fires (:func:`batched.find_annotated_ir`); the
+    IR block then skips the per-pair host set algebra and recomputes the
+    exact sets only for that pair, which is the one the host loop would
+    ``break`` on."""
     for _j in g.junctions:
         # QUIRK: broken f-string filter preserved verbatim.
         if opts.junction is not None and "f{_j[0]}-{_j[1]}" != opts.junction:
@@ -556,12 +568,17 @@ def _call_annotated(
                         )
 
         if "IR" in opts.events:
-            nnext = g.out(_j[0])
-            nprev = g.inc(_j[1])
             exons = _exons1 & _exons2
             retained: Dict[str, Set[str]] = {}
             subpath: List[str] = []
-            for n1, n2 in product(nnext, nprev):
+            if ir_oracle is not None:
+                pair = ir_oracle.get(_j)
+                pairs: Iterator[Tuple[str, str]] = iter(() if pair is None else (pair,))
+            else:
+                nnext = g.out(_j[0])
+                nprev = g.inc(_j[1])
+                pairs = product(nnext, nprev)
+            for n1, n2 in pairs:
                 if n1 == _j[1] or n2 == _j[0]:
                     continue
                 if n2 < n1:  # QUIRK: lexicographic on string ids
@@ -612,11 +629,20 @@ def _call_novel(
     opts: CallOptions,
     log,
     emit_novel_es: bool = True,
+    ss_oracle: Optional[Set[Tuple[Jct, int, str]]] = None,
+    ce_oracle: Optional[Dict[Jct, Set[Tuple[str, str]]]] = None,
 ) -> Iterator[str]:
     """``emit_novel_es=False`` suppresses only the novel-ES yields (the
     device engine produces them); safe because the ES block writes no state
     the leaked ``p``/``n`` quirk variables could observe — ``p`` is never
-    assigned there and ``n`` is reassigned before any read."""
+    assigned there and ``n`` is reassigned before any read.
+
+    ``ss_oracle`` (device engine): hit keys ``(J, block, node)`` from
+    :func:`batched.find_novel_ss_exonic` — the exonic-SS loops then skip
+    the per-candidate exon/transcript set algebra for misses and recompute
+    the exact sets only for hits. ``ce_oracle`` maps an annotated junction
+    to its novel-CE ``(exon_start, exon_end)`` pair set
+    (:func:`batched.find_novel_ce`), replacing the flank product scan."""
     events = opts.events
     # QUIRK: p and n mirror the reference's leaked loop variables
     # (call.py:630,685): their values persist across blocks AND across
@@ -693,6 +719,8 @@ def _call_novel(
                 if spliced_exons:
                     annotated_js = []
                     for n in _next0:
+                        if ss_oracle is not None and (_j, 1, n) not in ss_oracle:
+                            continue
                         exons_n = g.exset(n) & spliced_exons
                         if not exons_n:
                             continue
@@ -733,6 +761,8 @@ def _call_novel(
                 if spliced_exons:
                     annotated_js = []
                     for p in _prev1:
+                        if ss_oracle is not None and (_j, 2, p) not in ss_oracle:
+                            continue
                         exons_p = g.exset(p) & spliced_exons
                         if not exons_p:
                             continue
@@ -876,10 +906,13 @@ def _call_novel(
 
             if "ES" in events:
                 if len(Js1) > 0 and len(Js2) > 0:
-                    novel_exons = set()
-                    for j1, j2 in product(Js1, Js2):
-                        if j1[1] <= j2[0]:  # QUIRK: lexicographic
-                            novel_exons.add((j1[1], j2[0]))
+                    if ce_oracle is not None:
+                        novel_exons = ce_oracle.get(_j, set())
+                    else:
+                        novel_exons = set()
+                        for j1, j2 in product(Js1, Js2):
+                            if j1[1] <= j2[0]:  # QUIRK: lexicographic
+                                novel_exons.add((j1[1], j2[0]))
                     for es, ee in novel_exons:
                         j1 = (_j[0], es)
                         j2 = (ee, _j[1])

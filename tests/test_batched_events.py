@@ -107,6 +107,77 @@ def test_batched_novel_es_micro(tmp_path):
     assert set(triples) == host
 
 
+def _host_rows_inproc(gfa, gtf, opts):
+    import io
+
+    from pantas_tpu.events.caller import call_events
+
+    return list(call_events(gfa, gtf, opts, log=io.StringIO()))
+
+
+def test_batched_annotated_ir_micro(tmp_path):
+    """find_annotated_ir must pick exactly the host's first firing pair —
+    the emitted IR rows (nodes2 subpath starts at n1) must coincide."""
+    from pantas_tpu.events.batched import find_annotated_ir
+    from pantas_tpu.events.caller import CallOptions
+
+    paths = write_call_fixtures(tmp_path)
+    any_ir = False
+    for name in ("splice", "cassette"):
+        gfa, gtf = paths[name]
+        graph = SplicingGraph.from_gfa(gfa)
+        t2g, _, _ = parse_transcript_maps(gtf)
+        oracle = find_annotated_ir(graph, t2g, rca=0)
+        host_ir = {}
+        for row in _host_rows_inproc(gfa, gtf, CallOptions(rca=0, events=["IR"])):
+            cols = row.split(",")
+            if cols[0] != "IR" or cols[1] != "annotated":
+                continue
+            sub = cols[10].split(">")
+            host_ir[tuple(cols[8].split(">"))] = (sub[0], sub[-1])
+        assert set(oracle) >= set(host_ir)
+        for j, (n1, n2) in host_ir.items():
+            assert oracle[j] == (n1, n2)
+            any_ir = True
+    assert any_ir  # the fixtures must actually exercise annotated IR
+
+
+def test_batched_novel_families_micro(tmp_path):
+    """Device oracles for novel CE and exonic SS must reproduce exactly the
+    host caller's novel rows of those families on the micro fixtures."""
+    import io
+
+    from pantas_tpu.events.batched import find_novel_ce, find_novel_ss_exonic
+    from pantas_tpu.events.caller import CallOptions, _call_novel
+
+    paths = write_call_fixtures(tmp_path)
+    seen_ce = seen_ss = False
+    for name in ("splice", "cassette"):
+        gfa, gtf = paths[name]
+        graph = SplicingGraph.from_gfa(gfa)
+        t2g, genestrand, genechr = parse_transcript_maps(gtf)
+        opts = CallOptions(rca=0, novel=True)
+        host = sorted(
+            r
+            for r in _call_novel(
+                graph, t2g, genestrand, genechr, opts, io.StringIO()
+            )
+        )
+        oracled = sorted(
+            r
+            for r in _call_novel(
+                graph, t2g, genestrand, genechr, opts, io.StringIO(),
+                ss_oracle=find_novel_ss_exonic(graph, t2g, opts),
+                ce_oracle=find_novel_ce(graph, opts),
+            )
+        )
+        assert oracled == host, name
+        etypes = {(r.split(",")[0], r.split(",")[1]) for r in host}
+        seen_ce |= ("CE", "novel") in etypes
+        seen_ss |= ("A3", "novel") in etypes or ("A5", "novel") in etypes
+    assert seen_ce and seen_ss  # fixtures must exercise both families
+
+
 def test_device_call_engine_micro(tmp_path):
     paths = write_call_fixtures(tmp_path)
     for name in ("splice", "cassette"):
