@@ -406,6 +406,32 @@ def _cmd_map(argv):
     return 0
 
 
+def _cmd_map_accuracy(argv):
+    ap = argparse.ArgumentParser(prog="pantas-tpu map-accuracy")
+    ap.add_argument("GFA")
+    ap.add_argument("-n", dest="n_reads", type=int, default=2000)
+    ap.add_argument("-l", dest="read_len", type=int, default=150)
+    ap.add_argument(
+        "-d", dest="divergences", default="0,0.01,0.02,0.05",
+        help="comma-separated divergence rates",
+    )
+    ap.add_argument("-e", dest="error_rate", type=float, default=0.001)
+    ap.add_argument("-s", dest="seed", type=int, default=11)
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.mapper_accuracy import evaluate, report
+
+    results = evaluate(
+        args.GFA,
+        divergences=[float(x) for x in args.divergences.split(",")],
+        n_reads=args.n_reads,
+        read_len=args.read_len,
+        error_rate=args.error_rate,
+        seed=args.seed,
+    )
+    report(results)
+    return 0
+
+
 def _cmd_replicate(argv):
     """Fused per-replicate pipeline: GAF -> events, no augmented-GFA round trip."""
     ap = argparse.ArgumentParser(prog="pantas-tpu replicate")
@@ -677,6 +703,7 @@ _COMMANDS = {
     "quant": _cmd_quant,
     "remap": _cmd_remap,
     "map": _cmd_map,
+    "map-accuracy": _cmd_map_accuracy,
     "reduce": _cmd_reduce,
     "gamp": _cmd_gamp,
     "prune": _cmd_prune,
@@ -709,6 +736,7 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     quant       quantify events comparing conditions
     remap       remap events to reference haplotype
     map         align reads to the spliced pangenome (GAF output)
+    map-accuracy  mapper placement accuracy + MAPQ calibration sweep
     reduce      reduce a GFA to its transcript id-intervals (gene panels)
     replicate   fused GAF -> events (augment+call, no GFA round trip)
     gaf2sam     project graph alignments to linear SAM records

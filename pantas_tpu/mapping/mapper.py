@@ -257,6 +257,24 @@ def _extend(
     )
 
 
+def _node_interval(index: PathIndex, p: Piece) -> Tuple[int, int]:
+    """(min,max) node id covered by the piece — the placement-identity key.
+
+    Node ids are topologically sorted, so same-locus placements (e.g. the
+    same exon reached via a different transcript path) have intersecting
+    intervals and do NOT count as secondary hits for MAPQ.
+    """
+    rec = index.paths[p.path_idx]
+    i0 = bisect_right(rec.offsets, p.pstart) - 1
+    i1 = bisect_right(rec.offsets, p.pend - 1) - 1
+    try:
+        a, b = int(rec.nodes[i0]), int(rec.nodes[i1])
+    except ValueError:
+        # non-integer segment names (micro fixtures): hash to stable ints
+        a = b = hash(rec.nodes[i0])
+    return (a, b) if a <= b else (b, a)
+
+
 def _best_piece(
     index: PathIndex,
     seq: str,
@@ -265,6 +283,7 @@ def _best_piece(
     max_mismatch_frac: float = 0.08,
     min_span: int = 20,
     exclude: Optional[Tuple[int, int]] = None,
+    cands: Optional[List[Tuple[int, int, int]]] = None,
 ) -> Optional[Piece]:
     qhi = len(seq) if qhi is None else qhi
     votes = index.seed(seq, qlo, qhi)
@@ -280,6 +299,9 @@ def _best_piece(
         if p.mismatches > max_mismatch_frac * p.span:
             continue
         p.path_idx = pi
+        if cands is not None:
+            lo, hi = _node_interval(index, p)
+            cands.append((p.span - MISMATCH_PENALTY * p.mismatches, lo, hi))
         if best is None or (p.span - MISMATCH_PENALTY * p.mismatches) > (
             best.span - MISMATCH_PENALTY * best.mismatches
         ):
@@ -464,6 +486,7 @@ def _snap_join(
 class SplicedAlignment:
     pieces: List[Piece]
     reverse: bool
+    mapq: int = 60
 
     @property
     def qstart(self) -> int:
@@ -488,6 +511,19 @@ class SplicedAlignment:
         return sum(v for p in self.pieces for op, v in p.ops if op == ":")
 
 
+def _mapq_from_scores(s1: int, s2: int) -> int:
+    """Second-best-gap MAPQ (integer arithmetic shared with aligner.cpp).
+
+    s2 is the best score among *distinct placements* (disjoint node-id
+    interval or opposite strand); s2<=0 means uniquely placed.
+    """
+    if s2 <= 0:
+        return 60
+    if s1 <= s2 or s1 <= 0:
+        return 0
+    return min(60, (40 * (s1 - s2)) // s1)
+
+
 def align_read(
     index: PathIndex, read: str, max_mismatch_frac: float = 0.08
 ) -> Optional[SplicedAlignment]:
@@ -495,9 +531,12 @@ def align_read(
     L = len(read)
     k = index.k
     best: Optional[SplicedAlignment] = None
+    all_cands: List[Tuple[int, int, int, bool]] = []
 
     for reverse, seq in ((False, read), (True, revcomp(read))):
-        p1 = _best_piece(index, seq, 0, L, max_mismatch_frac)
+        strand_cands: List[Tuple[int, int, int]] = []
+        p1 = _best_piece(index, seq, 0, L, max_mismatch_frac, cands=strand_cands)
+        all_cands.extend((s, lo, hi, reverse) for s, lo, hi in strand_cands)
         if p1 is None:
             continue
         cand = SplicedAlignment([p1], reverse)
@@ -535,6 +574,19 @@ def align_read(
             continue
         if best is None or cand.score() > best.score():
             best = cand
+
+    if best is not None:
+        w_lo = w_hi = None
+        for p in best.pieces:
+            lo, hi = _node_interval(index, p)
+            w_lo = lo if w_lo is None else min(w_lo, lo)
+            w_hi = hi if w_hi is None else max(w_hi, hi)
+        s1 = best.score()
+        s2 = 0
+        for sc, lo, hi, rev in all_cands:
+            if rev != best.reverse or hi < w_lo or lo > w_hi:
+                s2 = max(s2, sc)
+        best.mapq = _mapq_from_scores(s1, s2)
     return best
 
 
@@ -570,6 +622,7 @@ def format_gaf(
     qstart: int,
     qend: int,
     mismatches: int,
+    mapq: int = 60,
 ) -> str:
     walk_nodes: List[str] = []
     walk_len = 0
@@ -598,7 +651,6 @@ def format_gaf(
 
     matches = span - mismatches
     dv = round(1.0 - (matches / span), 6) if span else 1.0
-    mapq = 60 if len(piece_coords) == 1 else 50
     return "\t".join(
         map(
             str,
@@ -652,6 +704,7 @@ def alignment_to_gaf(
         aln.qstart,
         aln.qend,
         span - matched,
+        aln.mapq,
     )
 
 
@@ -695,7 +748,7 @@ class NativePathAligner:
             index.k,
             index.max_hits,
         )
-        self._meta = np.zeros(4, dtype=np.int64)
+        self._meta = np.zeros(8, dtype=np.int64)  # [rev,qs,qe,mism,mapq,...]
         self._pieces = np.zeros(10, dtype=np.int64)
         self._cs = ctypes.create_string_buffer(1 << 16)
         self._ptrs = (
@@ -748,6 +801,7 @@ class NativePathAligner:
                 int(self._meta[1]),
                 int(self._meta[2]),
                 int(self._meta[3]),
+                int(self._meta[4]),
             ),
             n,
         )

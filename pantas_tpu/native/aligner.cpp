@@ -154,9 +154,30 @@ bool extend(const Aligner &A, const char *read, int pid, int64_t diag,
   return true;
 }
 
+// node index containing path position pos (bisect_right(offsets,pos)-1);
+// declared early for node_interval
+int64_t node_at(const Aligner &A, int pid, int64_t pos);
+
+// secondary-placement candidate: single-piece score + covered node-id range
+struct Cand {
+  int64_t score, lo, hi;
+};
+
+// (min,max) node id covered by a piece — the placement-identity key. Node
+// ids are topologically sorted, so same-locus placements (same exon via a
+// different transcript path) intersect and do NOT count as secondary hits.
+void node_interval(const Aligner &A, const Piece &p, int64_t &lo, int64_t &hi) {
+  int64_t i0 = node_at(A, p.path, p.pstart);
+  int64_t i1 = node_at(A, p.path, p.pend - 1);
+  int64_t a = A.ids(p.path)[i0], b = A.ids(p.path)[i1];
+  lo = a <= b ? a : b;
+  hi = a <= b ? b : a;
+}
+
 bool best_piece(const Aligner &A, const char *read, int64_t L, int64_t qlo,
                 int64_t qhi, bool use_excl, int excl_pid, int64_t excl_diag,
-                Piece &best, std::vector<Vote> &scratch) {
+                Piece &best, std::vector<Vote> &scratch,
+                std::vector<Cand> *collect = nullptr) {
   seed(A, read, L, qlo, qhi, scratch);
   if (use_excl) {
     for (size_t i = 0; i < scratch.size(); ++i)
@@ -175,6 +196,12 @@ bool best_piece(const Aligner &A, const char *read, int64_t L, int64_t qlo,
     if (!extend(A, read, scratch[t].pid, scratch[t].diag, qlo, qhi, p)) continue;
     if (p.span() < MIN_SPAN) continue;
     if ((double)p.mism > MAX_MISMATCH_FRAC * (double)p.span()) continue;
+    if (collect) {
+      Cand c;
+      c.score = p.span() - MISMATCH_PENALTY * p.mism;
+      node_interval(A, p, c.lo, c.hi);
+      collect->push_back(c);
+    }
     if (!have || (p.span() - MISMATCH_PENALTY * p.mism) >
                      (best.span() - MISMATCH_PENALTY * best.mism)) {
       best = p;
@@ -329,9 +356,17 @@ int64_t cand_score(const Piece *cand, int n, const Gap &gap) {
   return matched - 3 * mism - gap_cost;
 }
 
+// second-best-gap MAPQ (integer arithmetic shared with mapper.py)
+int mapq_from_scores(int64_t s1, int64_t s2) {
+  if (s2 <= 0) return 60;
+  if (s1 <= s2 || s1 <= 0) return 0;
+  int64_t q = (40 * (s1 - s2)) / s1;
+  return q > 60 ? 60 : (int)q;
+}
+
 // strand loop + two-piece rescue; returns piece count (0 = unmapped)
 int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
-               bool &best_rev, Gap &best_gap, std::string &fwd,
+               bool &best_rev, Gap &best_gap, int &mapq_out, std::string &fwd,
                std::string &rev, std::vector<Vote> &scratch) {
   fwd.assign(read_in, L);
   rev.resize(L);
@@ -342,11 +377,15 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
   best_gap = Gap();
   bool have = false;
   int64_t best_score = 0;
+  std::vector<Cand> strand_cands[2];
+  mapq_out = 60;
 
   for (int strand = 0; strand < 2; ++strand) {
     const char *seq = strand ? rev.c_str() : fwd.c_str();
     Piece p1;
-    if (!best_piece(A, seq, L, 0, L, false, 0, 0, p1, scratch)) continue;
+    if (!best_piece(A, seq, L, 0, L, false, 0, 0, p1, scratch,
+                    &strand_cands[strand]))
+      continue;
     Piece cand[2] = {p1, Piece()};
     int cand_n = 1;
     Gap cand_gap;
@@ -407,7 +446,25 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
       if (cand_n > 1) best[1] = cand[1];
     }
   }
-  return have ? best_n : 0;
+  if (!have) return 0;
+  // MAPQ: best score among distinct placements (disjoint node-id interval
+  // or opposite strand) vs the winner's final score
+  int64_t w_lo = 0, w_hi = 0;
+  for (int i = 0; i < best_n; ++i) {
+    int64_t lo, hi;
+    node_interval(A, best[i], lo, hi);
+    if (i == 0) { w_lo = lo; w_hi = hi; }
+    else { w_lo = std::min(w_lo, lo); w_hi = std::max(w_hi, hi); }
+  }
+  int64_t s2 = 0;
+  for (int strand = 0; strand < 2; ++strand) {
+    bool other_strand = (strand == 1) != best_rev;
+    for (const Cand &c : strand_cands[strand])
+      if (other_strand || c.hi < w_lo || c.lo > w_hi)
+        s2 = std::max(s2, c.score);
+  }
+  mapq_out = mapq_from_scores(best_score, s2);
+  return best_n;
 }
 
 // build the (possibly reverse-oriented) cs string for the chosen pieces
@@ -483,7 +540,7 @@ void format_dv(double x, char *buf, size_t cap) {
 void gaf_line(Aligner &A, const char *name, int64_t name_len, int64_t L,
               const Piece *best_in, int best_n_in, bool best_rev,
               const Gap &gap, const std::string &cs, int64_t mism_total,
-              std::string &out) {
+              int mapq, std::string &out) {
   Piece merged;
   const Piece *best = best_in;
   int best_n = best_n_in;
@@ -518,7 +575,6 @@ void gaf_line(Aligner &A, const char *name, int64_t name_len, int64_t L,
   // bases; matched bases exclude them (python: span - matched)
   int64_t matched_only = mism_total;  // param carries span-matched for gap case
   int64_t matches = span - matched_only;
-  int mapq = best_n == 1 ? 60 : 50;
   char dv[32];
   format_dv(span ? 1.0 - (double)matches / (double)span : 1.0, dv, sizeof dv);
 
@@ -605,7 +661,7 @@ void *aln_create(const char *seqs, const int64_t *seq_off,
 void aln_destroy(void *h) { delete (Aligner *)h; }
 
 // Returns number of pieces (0 = unmapped).
-// out_meta: [reverse, qstart, qend, mism_total]
+// out_meta: [reverse, qstart, qend, mism_total, mapq] (caller provides >=5)
 // out_pieces: per piece [path, pstart, pend, qstart, qend]
 // cs_buf: oriented cs string (NUL-terminated)
 int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
@@ -614,9 +670,11 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
   Piece best[2];
   bool best_rev;
   Gap gap;
+  int mapq;
   std::string fwd, rev;
   std::vector<Vote> scratch;
-  int best_n = align_core(A, read_in, L, best, best_rev, gap, fwd, rev, scratch);
+  int best_n =
+      align_core(A, read_in, L, best, best_rev, gap, mapq, fwd, rev, scratch);
   if (best_n == 0) return 0;
 
   const char *seq = best_rev ? rev.c_str() : fwd.c_str();
@@ -630,6 +688,7 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
   out_meta[0] = best_rev ? 1 : 0;
   out_meta[1] = best[0].qstart;
   out_meta[2] = best[best_n - 1].qend;
+  out_meta[4] = mapq;
   if (gap.kind) {
     // report ONE merged interval; meta[3] = span - matched so the shared
     // formatter recovers matched correctly (deleted bases are in the span)
@@ -697,13 +756,14 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
         Piece best[2];
         bool rev_flag;
         Gap gap;
+        int mapq;
         std::string fwd, rev, cs;
         std::vector<Vote> scratch;
         char buf[96];
         for (size_t i = t; i < reads.size(); i += n_threads) {
           const FqRecord &r = reads[i];
           int n = align_core(A, r.seq.data(), (int64_t)r.seq.size(), best,
-                             rev_flag, gap, fwd, rev, scratch);
+                             rev_flag, gap, mapq, fwd, rev, scratch);
           if (n == 0) {
             snprintf(buf, sizeof buf, "\t%lld\t0\t0\t+\t*\t0\t0\t0\t0\t0\t0\n",
                      (long long)r.seq.size());
@@ -726,7 +786,7 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
           lines[i].clear();
           gaf_line(A, r.name.c_str(), (int64_t)r.name.size(),
                    (int64_t)r.seq.size(), best, n, rev_flag, gap, cs, meta3,
-                   lines[i]);
+                   mapq, lines[i]);
         }
       };
       if (n_threads == 1) {
