@@ -24,6 +24,7 @@ Deliberately preserved reference quirks (each marked QUIRK below):
 
 from __future__ import annotations
 
+import gc
 import sys
 from dataclasses import dataclass, field
 from itertools import product
@@ -120,6 +121,11 @@ class SplicingGraph:
         self._jn_genes: Dict[Jct, Set[str]] = {}
         self._empty: Set[str] = set()
         self._empty_j: Set[Jct] = set()
+        # gene-filtered junction neighborhoods (junctions sharing a head /
+        # tail node whose transcripts hit the gene) — junctions sharing an
+        # endpoint re-filter the same neighbor set otherwise
+        self._jhead_gene: Dict[Tuple[str, str], frozenset] = {}
+        self._jtail_gene: Dict[Tuple[str, str], frozenset] = {}
         # junction endpoint indexes (replace the reference's O(J) scans at
         # call.py:280-282,945-947 with content-identical sets)
         self.j_by_head: Dict[str, Set[Jct]] = {}
@@ -365,14 +371,25 @@ def call_events(
     graph: Optional[SplicingGraph] = None,
 ) -> Iterator[str]:
     """Yield event CSV lines (header first) for one augmented replicate."""
-    if graph is None:
-        graph = SplicingGraph.from_gfa(gfa_path)
-    t2g, genestrand, genechr = parse_transcript_maps(gtf_path)
-    yield CSV_HEADER
-    if not opts.no_annotated:
-        yield from _call_annotated(graph, t2g, genestrand, genechr, opts, log)
-    if opts.novel:
-        yield from _call_novel(graph, t2g, genestrand, genechr, opts, log)
+    # the parse allocates >100k long-lived container objects and the event
+    # scan churns small temporaries: cyclic-GC passes walking the graph mid-
+    # stage cost ~25% of the stage. Nothing here creates reference cycles;
+    # defer collection to the end of the stage.
+    gc_was = gc.isenabled()
+    if gc_was:
+        gc.disable()
+    try:
+        if graph is None:
+            graph = SplicingGraph.from_gfa(gfa_path)
+        t2g, genestrand, genechr = parse_transcript_maps(gtf_path)
+        yield CSV_HEADER
+        if not opts.no_annotated:
+            yield from _call_annotated(graph, t2g, genestrand, genechr, opts, log)
+        if opts.novel:
+            yield from _call_novel(graph, t2g, genestrand, genechr, opts, log)
+    finally:
+        if gc_was:
+            gc.enable()
 
 
 def _genes_of_hts(hts, t2g: Dict[str, str]) -> Set[str]:
@@ -451,32 +468,44 @@ def _call_annotated(
         _exons2 = _same_gene_exons_cached(g, _j[1], _genes, t2g)
         assert len(_exons1) > 0 and len(_exons2) > 0
 
-        Js1 = g.j_by_head.get(_j[0], g._empty_j) - set([_j])
-        Js2 = g.j_by_tail.get(_j[1], g._empty_j) - set([_j])
-        Js1 = set(
-            x
-            for x in Js1
-            if len(_genes & g.jn_genes(x, t2g)) > 0
-        )
-        Js2 = set(
-            x
-            for x in Js2
-            if len(_genes & g.jn_genes(x, t2g)) > 0
-        )
+        # gene-filtered neighborhoods, cached per (endpoint, gene):
+        # content-identical to filtering `len(_genes & jn_genes(x)) > 0`
+        # per junction (here len(_genes)==1), minus _j itself
+        key1 = (_j[0], _gene)
+        Js1f = g._jhead_gene.get(key1)
+        if Js1f is None:
+            Js1f = frozenset(
+                x
+                for x in g.j_by_head.get(_j[0], g._empty_j)
+                if _gene in g.jn_genes(x, t2g)
+            )
+            g._jhead_gene[key1] = Js1f
+        Js1 = Js1f - {_j}
+        key2 = (_j[1], _gene)
+        Js2f = g._jtail_gene.get(key2)
+        if Js2f is None:
+            Js2f = frozenset(
+                x
+                for x in g.j_by_tail.get(_j[1], g._empty_j)
+                if _gene in g.jn_genes(x, t2g)
+            )
+            g._jtail_gene[key2] = Js2f
+        Js2 = Js2f - {_j}
 
         strand = genestrand[_gene]
         chrom = genechr[_gene]
 
         if "ES" in opts.events:
+            _ex_union = _exons1 | _exons2 if Js1 and Js2 else None
             for j1, j2 in product(Js1, Js2):
                 ht1 = g.jn_keys(j1)
                 ht2 = g.jn_keys(j2)
-                inclusion = (set(ht1) & set(ht2)) - set(_ht)
+                inclusion = (ht1 & ht2) - _ht
                 if not inclusion:
                     continue
                 exons1_2 = g.exset(j1[1])
                 exons2_1 = g.exset(j2[0])
-                if len((exons1_2 | exons2_1) - (_exons1 | _exons2)) > 0:
+                if len((exons1_2 | exons2_1) - _ex_union) > 0:
                     yield _row(
                         "ES",
                         "annotated",
@@ -514,7 +543,7 @@ def _call_annotated(
                         if not j2_exons:
                             continue
                         ht = tkeys_of_exons(j2_exons)
-                        if len(set(ht) - set(_ht)) == 0:
+                        if _ht.issuperset(ht):  # == len(set(ht)-set(_ht))==0
                             continue
                         assert len(set(jn) & set(g.link[j2].jn)) == 0
                         yield _row(
@@ -548,7 +577,7 @@ def _call_annotated(
                         if not j1_exons:
                             continue
                         ht = tkeys_of_exons(j1_exons)
-                        if len(set(ht) - set(_ht)) == 0:
+                        if _ht.issuperset(ht):  # == len(set(ht)-set(_ht))==0
                             continue
                         yield _row(
                             "A3" if strand == "+" else "A5",
