@@ -406,6 +406,35 @@ def _cmd_map(argv):
     return 0
 
 
+def _cmd_prefilter(argv):
+    """shark-style gene-panel read prefilter (reference
+    exps/3-homo-real/workflow/rules/pantas.smk:57-75 flag mapping:
+    -r genes.fa -1/-2 inputs, -o/-p outputs, -q quality, assoc TSV on
+    stdout)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu prefilter")
+    ap.add_argument("-r", dest="genes_fa", required=True, help="gene panel FASTA")
+    ap.add_argument("-1", dest="fq1", required=True)
+    ap.add_argument("-2", dest="fq2", default=None)
+    ap.add_argument("-o", dest="out1", required=True, help="filtered mate-1 FASTQ")
+    ap.add_argument("-p", dest="out2", default=None, help="filtered mate-2 FASTQ")
+    ap.add_argument("-q", dest="qthr", type=int, default=10, help="base quality threshold")
+    ap.add_argument("-k", dest="k", type=int, default=17)
+    ap.add_argument("-c", dest="min_frac", type=float, default=0.6,
+                    help="min fraction of k-mer windows confirming a gene")
+    ap.add_argument("--threads", dest="threads", type=int, default=1)
+    ap.add_argument("--engine", dest="engine", default="auto",
+                    choices=["auto", "native", "python"])
+    args = ap.parse_args(argv)
+    from pantas_tpu.mapping.prefilter import prefilter_reads
+
+    prefilter_reads(
+        args.genes_fa, args.fq1, args.fq2, args.out1, args.out2,
+        tsv_out=sys.stdout, k=args.k, qthr=args.qthr,
+        min_frac=args.min_frac, threads=args.threads, engine=args.engine,
+    )
+    return 0
+
+
 def _cmd_map_accuracy(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu map-accuracy")
     ap.add_argument("GFA")
@@ -704,6 +733,7 @@ _COMMANDS = {
     "remap": _cmd_remap,
     "map": _cmd_map,
     "map-accuracy": _cmd_map_accuracy,
+    "prefilter": _cmd_prefilter,
     "reduce": _cmd_reduce,
     "gamp": _cmd_gamp,
     "prune": _cmd_prune,
@@ -737,6 +767,7 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     remap       remap events to reference haplotype
     map         align reads to the spliced pangenome (GAF output)
     map-accuracy  mapper placement accuracy + MAPQ calibration sweep
+    prefilter   shark-style gene-panel read prefilter (FASTQ -> FASTQ + TSV)
     reduce      reduce a GFA to its transcript id-intervals (gene panels)
     replicate   fused GAF -> events (augment+call, no GFA round trip)
     gaf2sam     project graph alignments to linear SAM records

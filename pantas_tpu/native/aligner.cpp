@@ -605,11 +605,68 @@ void gaf_line(Aligner &A, const char *name, int64_t name_len, int64_t L,
 struct FqRecord {
   std::string name;
   std::string seq;
+  std::string qual;
+  std::string raw;  // the 4 original lines (prefilter re-emits verbatim)
 };
 
-bool read_fastq_record(FILE *fp, FqRecord &rec) {
+// count per-gene k-mer hits of one read; returns (#valid kmer windows),
+// fills best_gene/best_count. Bases with phred < qthr (or non-ACGT) break
+// the rolling window — the shark -q semantics (low-quality bases cannot
+// confirm a gene).
+int64_t kmer_hits(const Aligner &A, const char *seq, const char *qual,
+                  int64_t L, int qthr, std::vector<int32_t> &counts,
+                  std::vector<int64_t> &stamp, std::vector<int> &touched,
+                  int64_t &window_counter, int &best_gene,
+                  int64_t &best_count) {
+  const int k = A.k;
+  const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  uint64_t packed = 0;
+  int run = 0;
+  int64_t valid = 0;
+  touched.clear();
+  for (int64_t i = 0; i < L; ++i) {
+    int c = code(seq[i]);
+    bool lowq = qual && qual[i] != 0 && (qual[i] - 33) < qthr;
+    if (c < 0 || lowq) {
+      run = 0;
+      continue;
+    }
+    packed = ((packed << 2) | (uint64_t)c) & mask;
+    if (++run < k) continue;
+    ++valid;
+    const int64_t pos_id = ++window_counter;
+    // binary range search over the sorted index
+    int64_t lo = 0, hi = A.n_kmers;
+    while (lo < hi) { int64_t m = (lo + hi) / 2; if (A.kmers[m] < packed) lo = m + 1; else hi = m; }
+    int64_t lo2 = lo; hi = A.n_kmers;
+    while (lo2 < hi) { int64_t m = (lo2 + hi) / 2; if (A.kmers[m] <= packed) lo2 = m + 1; else hi = m; }
+    if (lo2 - lo > A.max_hits) continue;
+    for (int64_t t = lo; t < lo2; ++t) {
+      int pid = A.pids[t];
+      if (stamp[pid] == pos_id) continue;  // one vote per window per gene
+      stamp[pid] = pos_id;
+      if (counts[pid] == 0) touched.push_back(pid);
+      ++counts[pid];
+    }
+  }
+  best_gene = -1;
+  best_count = 0;
+  for (int pid : touched) {
+    // ties prefer the lower gene id (parity with the python engine)
+    if (counts[pid] > best_count ||
+        (counts[pid] == best_count && best_gene >= 0 && pid < best_gene)) {
+      best_count = counts[pid];
+      best_gene = pid;
+    }
+    counts[pid] = 0;  // reset for the next read
+  }
+  return valid;
+}
+
+bool read_fastq_record(FILE *fp, FqRecord &rec, bool keep_raw = false) {
   // unbounded line reads (long-read FASTQs exceed any fixed buffer)
   static thread_local std::string line;
+  if (keep_raw) rec.raw.clear();
   auto getl = [&](std::string *dst) -> bool {
     line.clear();
     char buf[1 << 16];
@@ -621,13 +678,17 @@ bool read_fastq_record(FILE *fp, FqRecord &rec) {
     size_t n = line.size();
     while (n && (line[n - 1] == '\n' || line[n - 1] == '\r')) --n;
     if (dst) dst->assign(line.data(), n);
+    if (keep_raw) {
+      rec.raw += line;
+      if (rec.raw.empty() || rec.raw.back() != '\n') rec.raw += '\n';
+    }
     return true;
   };
   std::string header;
   if (!getl(&header)) return false;
   if (!getl(&rec.seq)) return false;
   if (!getl(nullptr)) return false;
-  if (!getl(nullptr)) return false;
+  if (!getl(&rec.qual)) return false;
   size_t sp = header.find_first_of(" \t");
   rec.name = header.substr(1, sp == std::string::npos ? std::string::npos : sp - 1);
   return true;
@@ -814,6 +875,129 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
   stats[0] = mapped;
   stats[1] = spliced;
   stats[2] = total;
+  return 0;
+}
+
+// shark-style gene-panel read prefilter (reference
+// exps/3-homo-real/workflow/rules/pantas.smk:57-75 runs the external
+// `shark -q 10 -r genes.fa -1 .. -2 ..`): keep a read pair when either
+// mate's valid k-mer windows vote >= min_frac for one gene; emit the kept
+// pairs verbatim plus a "name<TAB>gene" association TSV.
+// gene_names: concatenated names; name_off: n_paths+1 offsets.
+// stats: [kept_pairs, total_pairs]. Deterministic under threads.
+int64_t shk_filter_file(void *h, const char *fq1, const char *fq2,
+                        int out1_fd, int out2_fd, int tsv_fd,
+                        const char *gene_names, const int64_t *name_off,
+                        int qthr, double min_frac, int n_threads,
+                        int64_t *stats) {
+  Aligner &A = *(Aligner *)h;
+  if (n_threads < 1) n_threads = 1;
+  FILE *out1 = fdopen(dup(out1_fd), "wb");
+  FILE *out2 = fq2 && fq2[0] ? fdopen(dup(out2_fd), "wb") : NULL;
+  FILE *tsv = fdopen(dup(tsv_fd), "wb");
+  FILE *fp1 = fopen(fq1, "rb");
+  FILE *fp2 = fq2 && fq2[0] ? fopen(fq2, "rb") : NULL;
+  if (!out1 || !tsv || !fp1 || (fq2 && fq2[0] && (!out2 || !fp2))) {
+    if (out1) fclose(out1);
+    if (out2) fclose(out2);
+    if (tsv) fclose(tsv);
+    if (fp1) fclose(fp1);
+    if (fp2) fclose(fp2);
+    return -1;
+  }
+
+  int64_t kept = 0, total = 0;
+  const size_t CHUNK = 16384;
+  std::vector<FqRecord> r1s, r2s;
+  std::vector<int> genes;       // winning gene per pair (-1 = drop)
+  bool eof = false;
+  while (!eof) {
+    r1s.clear();
+    r2s.clear();
+    FqRecord rec;
+    while (r1s.size() < CHUNK) {
+      if (!read_fastq_record(fp1, rec, true)) {
+        eof = true;
+        break;
+      }
+      r1s.push_back(rec);
+      if (fp2) {
+        if (!read_fastq_record(fp2, rec, true)) {
+          eof = true;  // ragged pair input: stop at the shorter file
+          r1s.pop_back();
+          break;
+        }
+        r2s.push_back(rec);
+      }
+    }
+    if (r1s.empty()) break;
+    genes.assign(r1s.size(), -1);
+
+    auto work = [&](int t) {
+      std::vector<int32_t> counts(A.n_paths, 0);
+      std::vector<int64_t> stamp(A.n_paths, 0);
+      std::vector<int> touched;
+      int64_t wc = 0;
+      for (size_t i = t; i < r1s.size(); i += n_threads) {
+        int bg = -1;
+        int64_t bc = 0;
+        int best_gene = -1;
+        double best_frac = 0.0;
+        const FqRecord *mates[2] = {&r1s[i], fp2 ? &r2s[i] : NULL};
+        for (int m = 0; m < 2; ++m) {
+          if (!mates[m]) continue;
+          const FqRecord &r = *mates[m];
+          const char *q = r.qual.size() == r.seq.size() ? r.qual.data() : NULL;
+          int64_t valid = kmer_hits(A, r.seq.data(), q, (int64_t)r.seq.size(),
+                                    qthr, counts, stamp, touched, wc, bg, bc);
+          if (valid <= 0 || bg < 0) continue;
+          double frac = (double)bc / (double)valid;
+          if (frac >= min_frac && frac > best_frac) {
+            best_frac = frac;
+            best_gene = bg;
+          }
+        }
+        genes[i] = best_gene;
+      }
+    };
+    if (n_threads == 1) {
+      work(0);
+    } else {
+      std::vector<std::thread> ths;
+      for (int t = 0; t < n_threads; ++t) ths.emplace_back(work, t);
+      for (auto &th : ths) th.join();
+    }
+
+    for (size_t i = 0; i < r1s.size(); ++i) {
+      ++total;
+      if (genes[i] < 0) continue;
+      ++kept;
+      fwrite(r1s[i].raw.data(), 1, r1s[i].raw.size(), out1);
+      if (out2) fwrite(r2s[i].raw.data(), 1, r2s[i].raw.size(), out2);
+      const char *gn = gene_names + name_off[genes[i]];
+      size_t gl = (size_t)(name_off[genes[i] + 1] - name_off[genes[i]]);
+      fwrite(r1s[i].name.data(), 1, r1s[i].name.size(), tsv);
+      fputc('\t', tsv);
+      fwrite(gn, 1, gl, tsv);
+      fputc('\n', tsv);
+    }
+    if (ferror(out1) || (out2 && ferror(out2)) || ferror(tsv)) {
+      fclose(fp1);
+      if (fp2) fclose(fp2);
+      fclose(out1);
+      if (out2) fclose(out2);
+      fclose(tsv);
+      return -3;
+    }
+  }
+  fclose(fp1);
+  if (fp2) fclose(fp2);
+  int rc = fclose(out1);
+  rc |= out2 ? fclose(out2) : 0;
+  rc |= fclose(tsv);
+  if (rc != 0) return -3;
+  stats[0] = kept;
+  stats[1] = total;
   return 0;
 }
 

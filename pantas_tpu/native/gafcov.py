@@ -111,6 +111,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.c_int, P(i64),
     ]
+    lib.shk_filter_file.restype = i64
+    lib.shk_filter_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, P(i64), ctypes.c_int,
+        f64, ctypes.c_int, P(i64),
+    ]
     lib.kidx_pack.restype = None
     lib.kidx_pack.argtypes = [ctypes.c_char_p, i64, ctypes.c_int, P(u64)]
     lib.kidx_sort.restype = None
