@@ -379,6 +379,35 @@ def _cmd_reintroduce(argv):
     return 0
 
 
+def _cmd_add_junctions(argv):
+    """Legacy EX/JN annotator from a gffread transcript FASTA
+    (add_junctions.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu add-junctions")
+    ap.add_argument("GFA")
+    ap.add_argument("GFFW", help="gffread transcript FASTA with segs: metadata")
+    ap.add_argument("--IS", dest="ignore_seq", action="store_true",
+                    help="skip the path-sequence == FASTA assertion")
+    args = ap.parse_args(argv)
+    from pantas_tpu.build.legacy import add_junctions
+
+    add_junctions(args.GFA, args.GFFW, ignore_seq=args.ignore_seq, out=sys.stdout)
+    return 0
+
+
+def _cmd_add_haplotypes(argv):
+    """Legacy haplotype path synthesis from phased VCF _alt_ paths
+    (add_haplotypes.py)."""
+    ap = argparse.ArgumentParser(prog="pantas-tpu add-haplotypes")
+    ap.add_argument("GFA")
+    ap.add_argument("VCF")
+    ap.add_argument("-t", dest="tprefix", default="ENST")
+    args = ap.parse_args(argv)
+    from pantas_tpu.build.legacy import add_haplotypes
+
+    add_haplotypes(args.GFA, args.VCF, tprefix=args.tprefix, out=sys.stdout)
+    return 0
+
+
 def _cmd_gamp(argv):
     """Legacy GAMP (vg-JSON) augmenter (edge weights only)."""
     ap = argparse.ArgumentParser(prog="pantas-tpu gamp")
@@ -738,6 +767,8 @@ _COMMANDS = {
     "gamp": _cmd_gamp,
     "prune": _cmd_prune,
     "reintroduce-paths": _cmd_reintroduce,
+    "add-junctions": _cmd_add_junctions,
+    "add-haplotypes": _cmd_add_haplotypes,
     "replicate": _cmd_replicate,
     "gaf2sam": _cmd_gaf2sam,
     "introns": _cmd_introns,

@@ -13,3 +13,10 @@ class Seq:
 
     def __len__(self):
         return len(self._d)
+
+    def __eq__(self, other):
+        # biopython Seq compares by string content (incl. vs plain str)
+        return self._d == str(other)
+
+    def __hash__(self):
+        return hash(self._d)

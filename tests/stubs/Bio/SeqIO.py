@@ -17,7 +17,22 @@ class _Record:
 
 
 def parse(path, fmt):
-    assert fmt == "fastq", f"stub supports fastq only, got {fmt}"
+    if fmt == "fasta":
+        desc = None
+        chunks = []
+        with open(path) as fh:
+            for line in fh:
+                if line.startswith(">"):
+                    if desc is not None:
+                        yield _Record(desc, "".join(chunks), None)
+                    desc = line[1:].rstrip("\n")
+                    chunks = []
+                else:
+                    chunks.append(line.strip())
+        if desc is not None:
+            yield _Record(desc, "".join(chunks), None)
+        return
+    assert fmt == "fastq", f"stub supports fasta/fastq only, got {fmt}"
     with open(path) as fh:
         while True:
             header = fh.readline()
