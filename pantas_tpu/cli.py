@@ -686,6 +686,34 @@ def _cmd_bench_table(argv):
     return 0
 
 
+def _cmd_novel_sites(argv):
+    ap = argparse.ArgumentParser(
+        prog="pantas-tpu novel-sites",
+        description="Detect intra-node novel splice sites from soft-clip "
+        "pile-ups in a GAF — the signal the reference pipeline structurally "
+        "cannot call (no edge can exist mid-node; its IL/OL histograms skip "
+        "first/last-node offsets). EXTENSION: no reference counterpart.",
+    )
+    ap.add_argument("GAF")
+    ap.add_argument("GFA", help="annotated (optionally augmented) GFA")
+    ap.add_argument("-w", dest="w", type=int, default=3, help="min pile-up count (default 3)")
+    ap.add_argument("-c", dest="min_clip", type=int, default=5,
+                    help="min clipped query bases at the boundary (default 5)")
+    ap.add_argument("-q", dest="mapq", type=int, default=20, help="mapq threshold")
+    ap.add_argument("--include-boundary", action="store_true",
+                    help="also report sites at node boundaries (expressible "
+                    "as graph edges, so normally left to the novel-link path)")
+    args = ap.parse_args(argv)
+    from pantas_tpu.events.sites import detect_novel_sites, write_novel_sites
+
+    rows = detect_novel_sites(
+        args.GAF, args.GFA, w=args.w, min_clip=args.min_clip,
+        mapq_thr=args.mapq, include_boundary=args.include_boundary,
+    )
+    write_novel_sites(rows)
+    return 0
+
+
 def _cmd_exp(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu exp")
     ap.add_argument("CONFIG", help="experiment config (JSON)")
@@ -784,6 +812,7 @@ _COMMANDS = {
     "check-novel": _cmd_check_novel,
     "timev": _cmd_timev,
     "bench-table": _cmd_bench_table,
+    "novel-sites": _cmd_novel_sites,
     "exp": _cmd_exp,
     "sim": _cmd_sim,
     "eval": _cmd_eval,
@@ -807,6 +836,7 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     check-novel classify skipped exons as novel vs annotated
     timev       run a command under rusage timing (time -v format log)
     bench-table fold a directory of .time logs into one CSV
+    novel-sites detect intra-node novel splice sites from clip pile-ups (GAF)
     exp         run a full two-condition experiment from a JSON config
     sim         simulate AS-event reads with ground truth
     eval        score called events against simulation truth (P/R/F1)

@@ -1,0 +1,204 @@
+"""Intra-node novel splice-site detection from alignment clip boundaries.
+
+A splice site that falls strictly *inside* a graph node is structurally
+invisible to the whole reference pipeline: no edge can exist there, so the
+caller (reference ``scripts/call.py``) can never emit it, and the augment
+stage's IL/OL offset histograms — the one channel that could carry the
+signal — deliberately skip the first node's entry offset and the last
+node's exit offset (the ``i != 0`` / ``i != len-1`` guards at
+``scripts/alignments_augmentation_from_gaf.py:281,289,299,306``), so only
+pass-through (always-boundary) and deletion offsets are ever recorded.
+``docs/SIM_ACCURACY.md`` measures the consequence: simulated A3/A5/CE
+events whose variant site is mid-node have recall 0 for the reference
+design and for our compat path alike.
+
+The evidence is nevertheless present in the GAF: a read spanning an
+unannotated splice site aligns one arm and *soft-clips* the other, so its
+alignment starts (acceptor side) or ends (donor side) at the same
+node-interior offset for every read that crosses the site, with unaligned
+query sequence left over. This module streams the GAF once (same
+mapq/dv/path filters as augmentation) and accumulates clip-boundary
+pile-ups:
+
+* ``start`` site — alignments whose first aligned base sits at a
+  node-interior offset with >= ``min_clip`` query bases clipped before it
+  (the unaligned arm continues genomically left: acceptor-like).
+* ``end`` site — alignments whose last aligned base sits at a
+  node-interior offset with >= ``min_clip`` query bases clipped after it
+  (donor-like).
+
+Sites with pile-up count >= ``w`` are reported with genomic coordinates
+recovered from the reference path(s) (the chromosome-named P lines), the
+node's exon labels, and its NC coverage for context. This is an opt-in
+EXTENSION subcommand (``novel-sites``): it adds no tags and changes no
+byte-compatible artifact, so all differential guarantees are untouched.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Optional, TextIO, Tuple
+
+from pantas_tpu.coverage.semantics import DEFAULT_MAPQ_THR, DEFAULT_MAX_DIVERGENCE
+from pantas_tpu.io.gaf import parse_gaf_line
+
+HEADER = "chrom,pos,side,node,offset,count,clip_max,nc,exons"
+
+
+@dataclass
+class NodeMeta:
+    length: int
+    gchrom: Optional[str] = None  # reference-path chromosome, if on one
+    gstart: int = 0  # 1-based genomic coord of forward base 0
+    nc: int = 0
+    exons: str = "."
+
+
+def _is_reference_path(name: str) -> bool:
+    """Reference(-derived) P lines are the ones not named after a transcript.
+
+    Our build layer and the reference's annotate.cpp both name transcript
+    paths ``<transcript>_R<i>`` / ``<transcript>_H<i>`` (haplotype-aware
+    copies); reference chromosome paths keep the FASTA sequence name
+    (``4``, ``chrX``) and reduce-mode sub-paths get ``<chrom>.N``
+    (reference ``build/reduce.py:40-44``).
+    """
+    tail = name.rsplit("_", 1)[-1]
+    if tail != name and tail[:1] in ("R", "H") and tail[1:].isdigit():
+        return False
+    return True
+
+
+def load_graph_meta(gfa_path: str) -> Dict[str, NodeMeta]:
+    """One pass over the (annotated, optionally augmented) GFA."""
+    meta: Dict[str, NodeMeta] = {}
+    ref_paths: List[Tuple[str, List[str]]] = []
+    with open(gfa_path) as fh:
+        for line in fh:
+            c = line[0]
+            if c == "S":
+                f = line.rstrip("\n").split("\t")
+                m = NodeMeta(length=len(f[2]))
+                for tag in f[3:]:
+                    if tag.startswith("EX:Z:"):
+                        m.exons = tag[5:]
+                    elif tag.startswith("NC:i:"):
+                        m.nc = int(tag[5:])
+                    elif tag.startswith("LN:i:") and f[2] == "*":
+                        m.length = int(tag[5:])
+                meta[f[1]] = m
+            elif c == "P":
+                f = line.rstrip("\n").split("\t")
+                if _is_reference_path(f[1]):
+                    ref_paths.append((f[1], [s[:-1] for s in f[2].split(",")]))
+    for chrom, nodes in ref_paths:
+        pos = 1
+        for n in nodes:
+            m = meta.get(n)
+            if m is None:
+                continue
+            if m.gchrom is None:
+                m.gchrom = chrom
+                m.gstart = pos
+            pos += m.length
+    return meta
+
+
+def _boundary_events(rec, meta: Dict[str, NodeMeta], min_clip: int):
+    """Yield ('start'|'end', node, fwd_offset, clip_len) for one record."""
+    path = rec.path
+    rev = path[0] == "<"
+    steps = path.split("<" if rev else ">")[1:]
+    if not steps:
+        return
+    first, last = steps[0], steps[-1]
+    if first not in meta or last not in meta:
+        return
+    len_first, len_last = meta[first].length, meta[last].length
+    # walk-local coords of the first/last aligned base
+    ws = rec.path_start
+    we = rec.path_end - 1 - (rec.path_len - len_last)
+    if ws >= len_first or we < 0:  # inconsistent record
+        return
+    fs = (len_first - 1 - ws) if rev else ws
+    fe = (len_last - 1 - we) if rev else we
+    clip_head = rec.query_start
+    clip_tail = rec.query_len - rec.query_end
+    if not rev:
+        if clip_head >= min_clip:
+            yield ("start", first, fs, clip_head)
+        if clip_tail >= min_clip:
+            yield ("end", last, fe, clip_tail)
+    else:
+        # reverse walk: the query head clip hangs off the genomic RIGHT
+        # boundary (walk start = rightmost node), and vice versa.
+        if clip_head >= min_clip:
+            yield ("end", first, fs, clip_head)
+        if clip_tail >= min_clip:
+            yield ("start", last, fe, clip_tail)
+
+
+def detect_novel_sites(
+    gaf_path: str,
+    gfa_path: str,
+    w: int = 3,
+    min_clip: int = 5,
+    mapq_thr: int = DEFAULT_MAPQ_THR,
+    max_dv: float = DEFAULT_MAX_DIVERGENCE,
+    include_boundary: bool = False,
+) -> List[str]:
+    """Scan a GAF for clip-boundary pile-ups; return CSV rows (no header).
+
+    ``include_boundary`` also reports sites at node boundaries (offset 0
+    for ``start`` / len-1 for ``end``); those are expressible as graph
+    edges and therefore already covered by the novel-link machinery
+    (reference ``alignments_augmentation_from_gaf.py:426-427``), so they
+    are off by default.
+    """
+    meta = load_graph_meta(gfa_path)
+    piles: Dict[Tuple[str, str, int], List[int]] = {}  # (side,node,off) -> [n, clipmax]
+    with open(gaf_path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = parse_gaf_line(line)
+            if rec.mapq < mapq_thr or rec.path == "*":
+                continue
+            if rec.dv is not None and rec.dv > max_dv:
+                continue
+            for side, node, off, clip in _boundary_events(rec, meta, min_clip):
+                cur = piles.setdefault((side, node, off), [0, 0])
+                cur[0] += 1
+                cur[1] = max(cur[1], clip)
+
+    rows: List[str] = []
+    for (side, node, off), (count, clipmax) in piles.items():
+        if count < w:
+            continue
+        m = meta[node]
+        if not include_boundary:
+            if side == "start" and off == 0:
+                continue
+            if side == "end" and off == m.length - 1:
+                continue
+        if m.gchrom is not None:
+            chrom, pos = m.gchrom, str(m.gstart + off)
+        else:
+            chrom, pos = "?", "?"
+        rows.append(
+            f"{chrom},{pos},{side},{node},{off},{count},{clipmax},{m.nc},{m.exons.replace(',', '|')}"
+        )
+
+    def key(r: str):
+        f = r.split(",")
+        return (f[0], int(f[1]) if f[1].isdigit() else -1, f[2], f[3], int(f[4]))
+
+    rows.sort(key=key)
+    return rows
+
+
+def write_novel_sites(rows: Iterable[str], out: TextIO = sys.stdout) -> None:
+    print(HEADER, file=out)
+    for r in rows:
+        print(r, file=out)

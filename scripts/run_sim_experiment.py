@@ -97,6 +97,62 @@ def main():
         if etype in ("ES", "CE", "IR", "A3", "A5", "ALL"):
             print(f"| {cut} | {etype} | {tp} | {fp} | {fn} | {p} | {r} | {f1} |")
 
+    score_novel_sites(WD, prefix)
+
+
+def score_novel_sites(wd, prefix, tol=3):
+    """Intra-node splice-site recovery (the ``novel-sites`` extension).
+
+    Truth = every novel-junction endpoint the simulated A3/A5/CE events
+    create at positions with NO node boundary in the graph: the shifted
+    A3/A5 site, and all four endpoints of a cassette exon's two novel
+    junctions. The compat pipeline (ours and the reference design alike)
+    has structural recall 0 on these — see docs/SIM_ACCURACY.md.
+    """
+    import csv
+
+    from pantas_tpu.events.sites import detect_novel_sites
+
+    truth = []
+    for row in csv.DictReader(open(f"{prefix}_truth.csv")):
+        et = row["etype"]
+        if et in ("A3", "A5"):
+            c1s, c1e = map(int, row["region1"].split(":")[1].split("-"))
+            c2s, c2e = map(int, row["region2"].split(":")[1].split("-"))
+            if c1s != c2s:
+                truth.append((et, "end", min(c1s, c2s) - 1))
+            if c1e != c2e:
+                truth.append((et, "start", max(c1e, c2e) + 1))
+        elif et == "CE":
+            i_s, i_e = map(int, row["region1"].split(":")[1].split("-"))
+            s, e = map(int, row["region2"].split(":")[1].split("-"))
+            truth += [(et, "end", i_s - 1), (et, "start", s),
+                      (et, "end", e), (et, "start", i_e + 1)]
+    if not truth:
+        return
+
+    gfa = wd / "run" / "pantranscriptome-annotated.gfa"
+    det = []
+    for gaf in sorted((wd / "run").glob("c*_r*.gaf")):
+        for r in detect_novel_sites(str(gaf), str(gfa), w=3):
+            f = r.split(",")
+            if f[1].isdigit():
+                det.append((f[2], int(f[1])))
+
+    hits = sum(
+        any(s == side and abs(p - pos) <= tol for s, p in det)
+        for _, side, pos in truth
+    )
+    tp = sum(
+        any(side == s and abs(pos - p) <= tol for _, side, pos in truth)
+        for s, p in det
+    )
+    print(f"\n### Intra-node novel splice sites (novel-sites, w=3, tol ±{tol})\n")
+    print(f"truth sites {len(truth)} | detected {len(det)} | "
+          f"site recall {hits}/{len(truth)} = {hits / len(truth):.2f} | "
+          f"precision {tp}/{len(det) or 1} = {tp / (len(det) or 1):.2f} "
+          f"(compat pipeline + reference design: structural recall 0)")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,99 @@
+"""Intra-node novel splice-site detection (the ``novel-sites`` extension).
+
+Hand-built micro graph + GAF: clip-boundary pile-ups must be located in
+node-forward coordinates (both walk orientations), translated to genomic
+positions via the reference path, gated on min-clip / mapq / pile-up
+count, and node-boundary sites excluded by default (those are expressible
+as graph edges — reference ``alignments_augmentation_from_gaf.py:426-427``
+novel links — so only mid-node sites are the new signal)."""
+
+from pathlib import Path
+
+from conftest import run_cli
+
+from pantas_tpu.events.sites import detect_novel_sites
+
+GFA = """H\tVN:Z:1.0
+S\t1\tAAAAAAAAAA
+S\t2\tCCCCCCCCCC\tEX:Z:T1_R1.2\tNC:i:9
+S\t3\tGGGGGGGGGG
+L\t1\t+\t2\t+\t0M
+L\t2\t+\t3\t+\t0M
+P\tchrZ\t1+,2+,3+\t*
+P\tT1_R1\t2+,3+\t*
+"""
+
+
+def _gaf(name, qlen, qstart, qend, path, plen, ps, pe, mapq=60):
+    span = pe - ps
+    return (
+        f"{name}\t{qlen}\t{qstart}\t{qend}\t+\t{path}\t{plen}\t{ps}\t{pe}"
+        f"\t{span}\t{span}\t{mapq}\tcs:Z::{span}"
+    )
+
+
+def _fixture(tmp_path: Path):
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text(GFA)
+    lines = []
+    # 4 reads starting mid node 2 (offset 4) with a 30 bp head clip
+    for i in range(4):
+        lines.append(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 4, 20))
+    # 3 reads ending mid node 2 (offset 6) with a 40 bp tail clip
+    for i in range(3):
+        lines.append(_gaf(f"e{i}", 100, 0, 60, ">1>2", 20, 3, 17))
+    # 3 reverse-walk reads: query-head clip hangs off the genomic RIGHT
+    # boundary -> side "end" at node 3, forward offset len-1-ps = 7
+    for i in range(3):
+        lines.append(_gaf(f"r{i}", 100, 25, 100, "<3<2", 20, 2, 20))
+    # boundary pile-up (start at offset 0 of node 2): excluded by default
+    for i in range(5):
+        lines.append(_gaf(f"b{i}", 100, 50, 100, ">2>3", 20, 0, 20))
+    # below min-clip: never counted
+    for i in range(5):
+        lines.append(_gaf(f"c{i}", 100, 2, 100, ">2>3", 20, 4, 20))
+    # below mapq threshold: never counted
+    for i in range(5):
+        lines.append(_gaf(f"q{i}", 100, 30, 100, ">2>3", 20, 4, 20, mapq=3))
+    gaf = tmp_path / "a.gaf"
+    gaf.write_text("\n".join(lines) + "\n")
+    return gaf, gfa
+
+
+def test_micro_fixture_sites(tmp_path):
+    gaf, gfa = _fixture(tmp_path)
+    rows = detect_novel_sites(str(gaf), str(gfa), w=3)
+    # node 2 starts at genomic 11, node 3 at 21 (1-based, via P chrZ)
+    assert rows == [
+        "chrZ,15,start,2,4,4,30,9,T1_R1.2",
+        "chrZ,17,end,2,6,3,40,9,T1_R1.2",
+        "chrZ,28,end,3,7,3,25,0,.",
+    ]
+
+
+def test_w_threshold_and_boundary_opt_in(tmp_path):
+    gaf, gfa = _fixture(tmp_path)
+    assert detect_novel_sites(str(gaf), str(gfa), w=4) == [
+        "chrZ,15,start,2,4,4,30,9,T1_R1.2"
+    ]
+    with_boundary = detect_novel_sites(str(gaf), str(gfa), w=3, include_boundary=True)
+    assert "chrZ,11,start,2,0,5,50,9,T1_R1.2" in with_boundary
+
+
+def test_cli_subcommand(tmp_path):
+    import sys
+
+    gaf, gfa = _fixture(tmp_path)
+    proc = run_cli(
+        [sys.executable, "-m", "pantas_tpu", "novel-sites", str(gaf), str(gfa)]
+    )
+    lines = proc.stdout.strip().splitlines()
+    assert lines[0] == "chrom,pos,side,node,offset,count,clip_max,nc,exons"
+    assert len(lines) == 4
+
+
+def test_transcript_paths_are_not_reference_paths(tmp_path):
+    # T1_R1 (2+,3+) must NOT claim node 2's genomic coordinate
+    gaf, gfa = _fixture(tmp_path)
+    rows = detect_novel_sites(str(gaf), str(gfa), w=3)
+    assert all(r.startswith("chrZ,") for r in rows)
