@@ -703,14 +703,27 @@ def _cmd_novel_sites(argv):
     ap.add_argument("--include-boundary", action="store_true",
                     help="also report sites at node boundaries (expressible "
                     "as graph edges, so normally left to the novel-link path)")
+    ap.add_argument("--events", dest="gtf", default=None, metavar="GTF",
+                    help="classify sites into A3/A5 event rows (gene/strand "
+                    "from the node's exon labels + this GTF)")
     args = ap.parse_args(argv)
-    from pantas_tpu.events.sites import detect_novel_sites, write_novel_sites
+    from pantas_tpu.events.sites import (
+        EVENTS_HEADER,
+        classify_sites,
+        detect_novel_sites,
+        write_novel_sites,
+    )
 
     rows = detect_novel_sites(
         args.GAF, args.GFA, w=args.w, min_clip=args.min_clip,
         mapq_thr=args.mapq, include_boundary=args.include_boundary,
     )
-    write_novel_sites(rows)
+    if args.gtf:
+        print(EVENTS_HEADER)
+        for r in classify_sites(rows, args.gtf):
+            print(r)
+    else:
+        write_novel_sites(rows)
     return 0
 
 

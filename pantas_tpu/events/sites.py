@@ -202,3 +202,46 @@ def write_novel_sites(rows: Iterable[str], out: TextIO = sys.stdout) -> None:
     print(HEADER, file=out)
     for r in rows:
         print(r, file=out)
+
+
+EVENTS_HEADER = "event_type,annotated/novel,chrom,gene,strand,position,side,node,offset,coverage"
+
+
+def classify_sites(rows: Iterable[str], gtf_path: str) -> List[str]:
+    """Site rows -> alternative-splice-site EVENT rows (A3 / A5).
+
+    A clip-boundary site is one terminus of an intron absent from the
+    graph. Which terminus it is follows from the side and the gene's
+    strand: alignments that *start* at the site (body extends genomically
+    right) mark the right-hand intron terminus — the acceptor on a ``+``
+    gene (A3: alternative 3' splice site) and the donor on a ``-`` gene
+    (A5) — and symmetrically for *end* sites. Gene and strand come from
+    the node's exon labels + GTF, exactly the caller's label algebra
+    (reference ``call.py:90-129`` naming: transcript ``T_H`` splits on
+    the last ``_``; exon label ``T.e``). Sites on exon-less nodes
+    (intronic, e.g. inside a novel cassette exon's intron) cannot be
+    oriented and are reported with etype ``NS`` (novel site), gene ``.``.
+    """
+    from pantas_tpu.io.gtf import parse_transcript_maps
+
+    t2g, genestrand, _ = parse_transcript_maps(gtf_path)
+    out: List[str] = []
+    for r in rows:
+        chrom, pos, side, node, off, count, _clip, _nc, exons = r.split(",")
+        gene = strand = None
+        if exons != ".":
+            for label in exons.split("|"):
+                th = label.rsplit(".", 1)[0]
+                t = th.rsplit("_", 1)[0]
+                if t in t2g:
+                    gene = t2g[t]
+                    strand = genestrand.get(gene)
+                    break
+        if gene is None or strand not in ("+", "-"):
+            out.append(f"NS,novel,{chrom},.,.,{pos},{side},{node},{off},{count}")
+            continue
+        etype = "A3" if (side == "start") == (strand == "+") else "A5"
+        out.append(
+            f"{etype},novel,{chrom},{gene},{strand},{pos},{side},{node},{off},{count}"
+        )
+    return out

@@ -153,6 +153,37 @@ def score_novel_sites(wd, prefix, tol=3):
           f"precision {tp}/{len(det) or 1} = {tp / (len(det) or 1):.2f} "
           f"(compat pipeline + reference design: structural recall 0)")
 
+    # event-level: classify sites into A3/A5 by gene strand and score
+    # against the shifted-site truth per (etype, gene)
+    from pantas_tpu.events.sites import classify_sites
+
+    etruth = {}
+    for row in csv.DictReader(open(f"{prefix}_truth.csv")):
+        et = row["etype"]
+        if et not in ("A3", "A5"):
+            continue
+        c1s, c1e = map(int, row["region1"].split(":")[1].split("-"))
+        c2s, c2e = map(int, row["region2"].split(":")[1].split("-"))
+        pos = (min(c1s, c2s) - 1) if c1s != c2s else (max(c1e, c2e) + 1)
+        etruth[(et, row["gene"])] = pos
+
+    import json as _json
+
+    events = []
+    cfg_path = wd / "exp.json"
+    gtf = _json.loads(cfg_path.read_text())["gtf"] if cfg_path.exists() else None
+    if gtf:
+        for gaf in sorted((wd / "run").glob("c*_r*.gaf")):
+            rows = detect_novel_sites(str(gaf), str(gfa), w=3)
+            events += [e.split(",") for e in classify_sites(rows, gtf)]
+        ehits = sum(
+            any(e[0] == et and e[3] == gene and abs(int(e[5]) - pos) <= tol
+                for e in events)
+            for (et, gene), pos in etruth.items()
+        )
+        print(f"event-level A3/A5 (novel-sites --events): recall "
+              f"{ehits}/{len(etruth)} = {ehits / (len(etruth) or 1):.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -92,6 +92,30 @@ def test_cli_subcommand(tmp_path):
     assert len(lines) == 4
 
 
+GTF = (
+    'chrZ\tx\tgene\t1\t30\t.\t-\t.\tgene_id "G1";\n'
+    'chrZ\tx\ttranscript\t1\t30\t.\t-\t.\tgene_id "G1"; transcript_id "T1";\n'
+    'chrZ\tx\texon\t11\t20\t.\t-\t.\tgene_id "G1"; transcript_id "T1";\n'
+)
+
+
+def test_classify_sites_strand_aware(tmp_path):
+    from pantas_tpu.events.sites import classify_sites, detect_novel_sites
+
+    gaf, gfa = _fixture(tmp_path)
+    gtf = tmp_path / "a.gtf"
+    gtf.write_text(GTF)
+    events = classify_sites(detect_novel_sites(str(gaf), str(gfa), w=3), str(gtf))
+    # G1 is a '-' gene: a start site is the intron's genomic-right
+    # terminus = the donor on '-' => A5; an end site => A3. Node 3 has no
+    # exon labels => unoriented NS row.
+    assert events == [
+        "A5,novel,chrZ,G1,-,15,start,2,4,4",
+        "A3,novel,chrZ,G1,-,17,end,2,6,3",
+        "NS,novel,chrZ,.,.,28,end,3,7,3",
+    ]
+
+
 def test_transcript_paths_are_not_reference_paths(tmp_path):
     # T1_R1 (2+,3+) must NOT claim node 2's genomic coordinate
     gaf, gfa = _fixture(tmp_path)
