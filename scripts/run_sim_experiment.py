@@ -28,6 +28,7 @@ EXAMPLE = Path("/root/reference/example")
 WD = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / ".bench" / "simexp"
 SAMPLE = sys.argv[2] if len(sys.argv) > 2 else "DGRP-021"
 N_EVENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+DEPTH = int(sys.argv[4]) if len(sys.argv) > 4 else 30
 
 
 def main():
@@ -55,7 +56,7 @@ def main():
     if not (WD / "sim_truth.csv").exists():
         simulate(
             str(cons_fa), str(EXAMPLE / "4.gtf"), str(prefix),
-            n_events=N_EVENTS, reads_per_isoform=30,
+            n_events=N_EVENTS, reads_per_isoform=DEPTH,
             etypes=("ES", "IR", "A3", "A5", "CE"),
         )
 
