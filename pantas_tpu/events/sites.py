@@ -139,24 +139,7 @@ def _boundary_events(rec, meta: Dict[str, NodeMeta], min_clip: int):
             yield ("start", last, fe, clip_tail)
 
 
-def detect_novel_sites(
-    gaf_path: str,
-    gfa_path: str,
-    w: int = 3,
-    min_clip: int = 5,
-    mapq_thr: int = DEFAULT_MAPQ_THR,
-    max_dv: float = DEFAULT_MAX_DIVERGENCE,
-    include_boundary: bool = False,
-) -> List[str]:
-    """Scan a GAF for clip-boundary pile-ups; return CSV rows (no header).
-
-    ``include_boundary`` also reports sites at node boundaries (offset 0
-    for ``start`` / len-1 for ``end``); those are expressible as graph
-    edges and therefore already covered by the novel-link machinery
-    (reference ``alignments_augmentation_from_gaf.py:426-427``), so they
-    are off by default.
-    """
-    meta = load_graph_meta(gfa_path)
+def _scan_python(gaf_path, meta, min_clip, mapq_thr, max_dv):
     piles: Dict[Tuple[str, str, int], List[int]] = {}  # (side,node,off) -> [n, clipmax]
     with open(gaf_path) as fh:
         for line in fh:
@@ -171,6 +154,58 @@ def detect_novel_sites(
                 cur = piles.setdefault((side, node, off), [0, 0])
                 cur[0] += 1
                 cur[1] = max(cur[1], clip)
+    return piles
+
+
+def _scan_native(gaf_path, meta, min_clip, mapq_thr, max_dv):
+    """Native mmap scanner — requires canonical integer node ids (same
+    convention as the native GFA loader); returns None to fall back."""
+    import numpy as np
+
+    try:
+        from pantas_tpu.native import clip_sites_native, native_available
+
+        if not native_available():
+            return None
+        ids = np.fromiter((int(n) for n in meta), dtype=np.int64, count=len(meta))
+    except (ValueError, ImportError):
+        return None
+    lens = np.fromiter((m.length for m in meta.values()), dtype=np.int32, count=len(meta))
+    return clip_sites_native(
+        gaf_path, ids, lens, mapq_thr=mapq_thr, max_dv=max_dv, min_clip=min_clip
+    )
+
+
+def detect_novel_sites(
+    gaf_path: str,
+    gfa_path: str,
+    w: int = 3,
+    min_clip: int = 5,
+    mapq_thr: int = DEFAULT_MAPQ_THR,
+    max_dv: float = DEFAULT_MAX_DIVERGENCE,
+    include_boundary: bool = False,
+    engine: str = "auto",
+) -> List[str]:
+    """Scan a GAF for clip-boundary pile-ups; return CSV rows (no header).
+
+    ``include_boundary`` also reports sites at node boundaries (offset 0
+    for ``start`` / len-1 for ``end``); those are expressible as graph
+    edges and therefore already covered by the novel-link machinery
+    (reference ``alignments_augmentation_from_gaf.py:426-427``), so they
+    are off by default.
+
+    ``engine``: ``auto`` uses the native mmap scanner (memory-speed; needs
+    integer node ids) and falls back to the pure-Python oracle;
+    ``host`` forces Python; ``native`` requires the native path.
+    """
+    meta = load_graph_meta(gfa_path)
+    piles = None
+    if engine in ("auto", "native"):
+        piles = _scan_native(gaf_path, meta, min_clip, mapq_thr, max_dv)
+        if piles is None and engine == "native":
+            raise RuntimeError("native clip-site scanner unavailable")
+    if piles is None:
+        piles = _scan_python(gaf_path, meta, min_clip, mapq_thr, max_dv)
 
     rows: List[str] = []
     for (side, node, off), (count, clipmax) in piles.items():

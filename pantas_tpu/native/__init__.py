@@ -8,6 +8,7 @@ from pantas_tpu.native.gafcov import (  # noqa: F401
     NativeCoverage,
     augment_gfa_native,
     build_library,
+    clip_sites_native,
     kidx_pack,
     kidx_sort,
     native_available,

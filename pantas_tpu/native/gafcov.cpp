@@ -910,3 +910,184 @@ const int64_t *gfa_scan_edst(void *h) { return ((GfaScan *)h)->edst.data(); }
 void gfa_scan_free(void *h) { delete (GfaScan *)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Clip-boundary site scanner (the `novel-sites` extension, events/sites.py).
+//
+// Streams a GAF and accumulates soft-clip pile-ups: alignments that start
+// (acceptor side) or end (donor side) at a node-interior offset with
+// >= min_clip unaligned query bases hanging off that boundary. Behavioral
+// contract: pantas_tpu/events/sites.py::_boundary_events, exactly — the
+// Python detector is the oracle (differential-tested). No cs parsing is
+// needed (clip lengths come from the query columns), so this scans at
+// memory speed for production-scale GAFs.
+
+namespace {
+
+struct ClipSites {
+  std::unordered_map<int64_t, int32_t> nlen;  // node id -> sequence length
+  // key = (id << 21) | (fwd_off << 2) | side   (side: 0=start, 1=end)
+  std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> piles;  // count, clipmax
+  int64_t accepted = 0;
+};
+
+inline bool tok_int(const char *s, const char *e, int64_t &out) {
+  if (s >= e) return false;
+  for (const char *p = s; p < e; ++p)
+    if (!is_dig(*p)) return false;
+  out = parse_u(s, e);
+  return true;
+}
+
+void clipsites_line(ClipSites &C, const char *line, const char *lend,
+                    int mapq_thr, double max_dv, int min_clip) {
+  Field f[13];
+  int nf = 0;
+  const char *p = line;
+  while (p < lend && nf < 12) {
+    while (p < lend && (*p == '\t' || *p == ' ')) ++p;
+    if (p >= lend) break;
+    const char *q = p;
+    while (q < lend && *q != '\t' && *q != ' ') ++q;
+    f[nf].s = p;
+    f[nf].e = q;
+    ++nf;
+    p = q;
+  }
+  if (nf < 12) return;
+  if (f[11].as_int() < mapq_thr) return;
+  if (f[5].e - f[5].s == 1 && *f[5].s == '*') return;
+
+  // dv:f: tag (first match wins, reference regex semantics — same scan as
+  // process_line)
+  while (p < lend && (*p == '\t' || *p == ' ')) ++p;
+  for (const char *t = p; t + 4 < lend; ++t) {
+    if (t[0] == 'd' && t[1] == 'v' && t[2] == ':' && t[3] == 'f' &&
+        t[4] == ':') {
+      const char *q = t + 5;
+      if (q < lend && is_dig(*q)) {
+        const char *d = q;
+        while (d < lend && is_dig(*d)) ++d;
+        if (d < lend && *d == '.' && d + 1 < lend && is_dig(d[1])) {
+          ++d;
+          while (d < lend && is_dig(*d)) ++d;
+        }
+        char tmp[64];
+        size_t n = (size_t)(d - q) < sizeof(tmp) - 1 ? (size_t)(d - q)
+                                                     : sizeof(tmp) - 1;
+        memcpy(tmp, q, n);
+        tmp[n] = 0;
+        if (strtod(tmp, nullptr) > max_dv) return;
+      }
+      break;
+    }
+  }
+
+  const char *ps = f[5].s, *pe = f[5].e;
+  char sep = *ps;
+  if (sep != '>' && sep != '<') return;
+  bool rev = sep == '<';
+  // first and last RAW step tokens (same as path.split(sep)[1:] ends)
+  const char *fs_s = ps + 1;
+  const char *fs_e = fs_s;
+  while (fs_e < pe && *fs_e != sep) ++fs_e;
+  const char *ls_s = pe;
+  while (ls_s > ps && ls_s[-1] != sep) --ls_s;
+  int64_t first_id, last_id;
+  if (!tok_int(fs_s, fs_e, first_id) || !tok_int(ls_s, pe, last_id)) return;
+  auto itf = C.nlen.find(first_id);
+  auto itl = C.nlen.find(last_id);
+  if (itf == C.nlen.end() || itl == C.nlen.end()) return;
+  int64_t len_first = itf->second, len_last = itl->second;
+
+  int64_t qlen = f[1].as_int(), qstart = f[2].as_int(), qend = f[3].as_int();
+  int64_t plen = f[6].as_int(), pstart = f[7].as_int(), pend = f[8].as_int();
+  int64_t ws = pstart;
+  int64_t we = pend - 1 - (plen - len_last);
+  if (ws >= len_first || we < 0) return;
+  int64_t fs = rev ? len_first - 1 - ws : ws;
+  int64_t fe = rev ? len_last - 1 - we : we;
+  int64_t clip_head = qstart;
+  int64_t clip_tail = qlen - qend;
+  C.accepted++;
+
+  auto add = [&C](int side, int64_t id, int64_t off, int64_t clip) {
+    if (off < 0 || off >= (1 << 19) || id < 0 || id >= ((int64_t)1 << 43))
+      return;
+    uint64_t key = ((uint64_t)id << 21) | ((uint64_t)off << 2) | (uint64_t)side;
+    auto &v = C.piles[key];
+    v.first++;
+    if ((int32_t)clip > v.second) v.second = (int32_t)clip;
+  };
+  if (!rev) {
+    if (clip_head >= min_clip) add(0, first_id, fs, clip_head);
+    if (clip_tail >= min_clip) add(1, last_id, fe, clip_tail);
+  } else {
+    if (clip_head >= min_clip) add(1, first_id, fs, clip_head);
+    if (clip_tail >= min_clip) add(0, last_id, fe, clip_tail);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void *clipsites_create(int64_t n, const int64_t *ids, const int32_t *lens) {
+  ClipSites *C = new ClipSites();
+  C->nlen.reserve((size_t)n * 2);
+  for (int64_t i = 0; i < n; ++i) C->nlen.emplace(ids[i], lens[i]);
+  return C;
+}
+
+int64_t clipsites_process_file(void *h, const char *path, int mapq_thr,
+                               double max_dv, int min_clip) {
+  ClipSites *C = (ClipSites *)h;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    close(fd);
+    return st.st_size == 0 ? 0 : -1;
+  }
+  char *base = (char *)mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (base == MAP_FAILED) return -1;
+  madvise(base, st.st_size, MADV_SEQUENTIAL | MADV_WILLNEED);
+  const char *p = base, *end = base + st.st_size;
+  int64_t lines = 0;
+  while (p < end) {
+    const char *nl = (const char *)memchr(p, '\n', end - p);
+    const char *le = nl ? nl : end;
+    const char *ls = p;
+    while (le > ls && (le[-1] == '\r' || le[-1] == ' ')) --le;
+    if (le > ls) {
+      clipsites_line(*C, ls, le, mapq_thr, max_dv, min_clip);
+      ++lines;
+    }
+    p = nl ? nl + 1 : end;
+  }
+  munmap(base, st.st_size);
+  return lines;
+}
+
+int64_t clipsites_count(void *h) {
+  return (int64_t)((ClipSites *)h)->piles.size();
+}
+
+void clipsites_fill(void *h, int64_t *node, int32_t *off, int8_t *side,
+                    int32_t *count, int32_t *clipmax) {
+  ClipSites *C = (ClipSites *)h;
+  int64_t i = 0;
+  for (const auto &kv : C->piles) {
+    node[i] = (int64_t)(kv.first >> 21);
+    off[i] = (int32_t)((kv.first >> 2) & ((1 << 19) - 1));
+    side[i] = (int8_t)(kv.first & 3);
+    count[i] = kv.second.first;
+    clipmax[i] = kv.second.second;
+    ++i;
+  }
+}
+
+void clipsites_destroy(void *h) { delete (ClipSites *)h; }
+
+}  // extern "C"

@@ -136,8 +136,74 @@ def _load():
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.gfa_scan_free.restype = None
     lib.gfa_scan_free.argtypes = [ctypes.c_void_p]
+    lib.clipsites_create.restype = ctypes.c_void_p
+    lib.clipsites_create.argtypes = [i64, P(i64), P(i32)]
+    lib.clipsites_process_file.restype = i64
+    lib.clipsites_process_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, f64, ctypes.c_int,
+    ]
+    lib.clipsites_count.restype = i64
+    lib.clipsites_count.argtypes = [ctypes.c_void_p]
+    lib.clipsites_fill.restype = None
+    lib.clipsites_fill.argtypes = [
+        ctypes.c_void_p, P(i64), P(i32), ctypes.POINTER(ctypes.c_int8),
+        P(i32), P(i32),
+    ]
+    lib.clipsites_destroy.restype = None
+    lib.clipsites_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def clip_sites_native(
+    gaf_path: str,
+    node_ids,
+    node_lens,
+    mapq_thr: int = 20,
+    max_dv: float = 0.1,
+    min_clip: int = 5,
+):
+    """Native clip-boundary pile-up scan (the ``novel-sites`` hot loop).
+
+    ``node_ids``/``node_lens``: int64/int32 numpy arrays. Returns
+    ``{(side_str, node_id_str, offset): [count, clip_max]}`` — the same
+    pile structure the Python detector builds (its oracle).
+    """
+    lib = _load()
+    ids = np.ascontiguousarray(node_ids, dtype=np.int64)
+    lens = np.ascontiguousarray(node_lens, dtype=np.int32)
+    h = lib.clipsites_create(
+        len(ids),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    try:
+        n = lib.clipsites_process_file(
+            h, str(gaf_path).encode(), mapq_thr, max_dv, min_clip
+        )
+        if n < 0:
+            raise IOError(f"cannot scan {gaf_path}")
+        m = lib.clipsites_count(h)
+        node = np.empty(m, dtype=np.int64)
+        off = np.empty(m, dtype=np.int32)
+        side = np.empty(m, dtype=np.int8)
+        count = np.empty(m, dtype=np.int32)
+        clipmax = np.empty(m, dtype=np.int32)
+        lib.clipsites_fill(
+            h,
+            node.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            side.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            count.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            clipmax.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    finally:
+        lib.clipsites_destroy(h)
+    sides = ("start", "end")
+    return {
+        (sides[side[i]], str(node[i]), int(off[i])): [int(count[i]), int(clipmax[i])]
+        for i in range(m)
+    }
 
 
 def scan_gfa_structure(gfa_path: str):

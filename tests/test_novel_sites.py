@@ -121,3 +121,27 @@ def test_transcript_paths_are_not_reference_paths(tmp_path):
     gaf, gfa = _fixture(tmp_path)
     rows = detect_novel_sites(str(gaf), str(gfa), w=3)
     assert all(r.startswith("chrZ,") for r in rows)
+
+
+def test_native_scanner_matches_python(tmp_path):
+    from pantas_tpu.native import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    gaf, gfa = _fixture(tmp_path)
+    for w in (1, 3):
+        host = detect_novel_sites(str(gaf), str(gfa), w=w, engine="host")
+        native = detect_novel_sites(str(gaf), str(gfa), w=w, engine="native")
+        assert native == host
+    # with boundary sites and a different clip/mapq gate too
+    host = detect_novel_sites(
+        str(gaf), str(gfa), w=1, min_clip=1, mapq_thr=0, include_boundary=True,
+        engine="host",
+    )
+    native = detect_novel_sites(
+        str(gaf), str(gfa), w=1, min_clip=1, mapq_thr=0, include_boundary=True,
+        engine="native",
+    )
+    assert native == host
