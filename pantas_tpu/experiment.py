@@ -20,8 +20,13 @@ Config (JSON):
       "quant": {"all": true},
       "remap": {"min_intron_size": 100},
       "eval": {"truth": "truth.csv", "min_dpsi": 0.05, "relax": 3},
+      "novel_sites": true,            // or {"w": 3, "min_clip": 5, "events": true}
       "threads": 2
     }
+
+``novel_sites`` (extension, off by default) additionally writes a
+``<cond>_r<i>.sites.csv`` per replicate: intra-node novel splice sites
+from clip pile-ups, classified into A3/A5 rows (``events/sites.py``).
 
 Stage artifacts land under ``workdir`` (same stage-file resumability
 contract as the reference: existing artifacts are reused).
@@ -131,6 +136,40 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
                     print(row, file=out)
             os.replace(events_csv + ".tmp", events_csv)
             _log(f"{tag}: map+call {time.time() - t0:.1f}s", log)
+
+    # optional: intra-node novel splice sites per replicate (extension;
+    # the compat pipeline cannot express these — events/sites.py)
+    ns_cfg = cfg.get("novel_sites")
+    if ns_cfg:
+        from pantas_tpu.events.sites import (
+            EVENTS_HEADER,
+            HEADER,
+            classify_sites,
+            detect_novel_sites,
+            write_novel_sites,
+        )
+
+        ns_opts = ns_cfg if isinstance(ns_cfg, dict) else {}
+        for cond, replicates in cfg["conditions"].items():
+            for ri in range(1, len(replicates) + 1):
+                tag = f"{cond}_r{ri}"
+                sites_csv = os.path.join(wd, f"{tag}.sites.csv")
+                if os.path.exists(sites_csv):
+                    continue
+                rows = detect_novel_sites(
+                    os.path.join(wd, f"{tag}.gaf"), gfa,
+                    w=int(ns_opts.get("w", 3)),
+                    min_clip=int(ns_opts.get("min_clip", 5)),
+                )
+                with open(sites_csv + ".tmp", "w") as out:
+                    if ns_opts.get("events", True):
+                        print(EVENTS_HEADER, file=out)
+                        for r in classify_sites(rows, gtf):
+                            print(r, file=out)
+                    else:
+                        write_novel_sites(rows, out=out)
+                os.replace(sites_csv + ".tmp", sites_csv)
+                _log(f"{tag}: novel-sites -> {sites_csv}", log)
 
     conds = list(cfg["conditions"])
     assert len(conds) == 2, "exactly two conditions required"

@@ -34,6 +34,7 @@ def test_experiment_driver(tmp_path, example_graph):
         "call": {"w": 3, "novel": True, "minintronsize": 20},
         "remap": {"min_intron_size": 20},
         "eval": {"truth": f"{prefix}_truth.csv", "min_dpsi": 0.1, "relax": 5},
+        "novel_sites": True,
         "threads": 2,
     }
     cfg_path = tmp_path / "exp.json"
@@ -50,6 +51,12 @@ def test_experiment_driver(tmp_path, example_graph):
     assert result["scores"]["IR"]["recall"] == 1.0
     assert (wd / "quant-remap.csv").exists()
     assert (wd / "scores.csv").exists()
+    # novel-sites extension: per-replicate classified-site CSVs
+    from pantas_tpu.events.sites import EVENTS_HEADER
+
+    for tag in ("c1_r1", "c2_r1"):
+        sites = (wd / f"{tag}.sites.csv").read_text().splitlines()
+        assert sites[0] == EVENTS_HEADER
 
     # re-run: every replicate stage must be reused
     log2 = io.StringIO()
