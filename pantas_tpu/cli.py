@@ -59,9 +59,10 @@ def _cmd_augment(argv):
     ap.add_argument("-q", dest="mapq", type=int, default=20, help="mapq threshold")
     ap.add_argument(
         "--engine",
-        choices=["auto", "host", "native", "device"],
+        choices=["auto", "host", "native", "device", "device-py"],
         default="auto",
-        help="coverage engine: native C++ (fastest host), device (TPU scatter-add), "
+        help="coverage engine: native C++ (fastest host), device (native parse"
+        " -> TPU scatter-add), device-py (pure-python parse -> device), "
         "host (pure python); auto prefers native",
     )
     ap.add_argument("-t", dest="threads", type=int, default=1, help="native parse threads")
@@ -88,8 +89,11 @@ def _cmd_augment(argv):
             if engine == "native":
                 raise
             print(f"[augment] native engine unavailable ({e}); falling back", file=sys.stderr)
-    if engine == "device":
-        from pantas_tpu.coverage.device import augment_gfa_device
+    if engine in ("device", "device-py"):
+        from pantas_tpu.coverage.device import (
+            augment_gfa_device,
+            augment_gfa_device_native,
+        )
 
         mesh = None
         if args.mesh:
@@ -102,6 +106,18 @@ def _cmd_augment(argv):
                 mesh = coverage_mesh_2d(jax.devices()[: d * k], d, k)
             else:
                 mesh = coverage_mesh(jax.devices()[: int(args.mesh)])
+        if engine == "device":
+            try:
+                augment_gfa_device_native(
+                    args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr, mesh=mesh
+                )
+                return 0
+            except Exception as e:
+                print(
+                    f"[augment] native device feed unavailable ({e}); "
+                    "python tokenizer fallback",
+                    file=sys.stderr,
+                )
         augment_gfa_device(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr, mesh=mesh)
         return 0
     from pantas_tpu.coverage import augment_gfa

@@ -50,6 +50,20 @@ struct Engine {
   // (no separate seen-flag array: hist slots are touched only by
   //  bump_hist, so counts[slot]==0 IS the never-seen predicate)
 
+  // slot-stream mode (the TPU device-engine feed): instead of accumulating
+  // host-side, every count contribution is appended to slot_stream as a
+  // flat int32 slot index; the device scatter-adds the stream and the final
+  // counts are copied back via gafcov_counts_set before emission. counts[]
+  // then serves only as the first-seen flag for hist slots. seen_pos /
+  // novel_pos record the byte offset of each first sighting so multi-
+  // process shards can reconstruct the global file order (the contract of
+  // parallel/distributed.py::_merge_sidecars).
+  bool collect_slots = false;
+  std::vector<int32_t> slot_stream;
+  std::vector<int64_t> seen_pos;      // aligned with seen_order
+  std::unordered_map<uint64_t, int64_t> novel_pos;
+  int64_t cur_pos = -1;               // byte offset of the current record
+
   // CSR over the sorted edge table: edge_key's (src<<32|dst) sort order IS
   // grouped-by-src order, so csr_off[src]..csr_off[src+1] indexes the slot
   // range of src's out-edges — O(out-degree) lookup, 2 cache lines, instead
@@ -101,9 +115,24 @@ struct Engine {
     for (int64_t i = 0; i < n_nodes; ++i) csr_off[i + 1] += csr_off[i];
   }
 
-  void bump(int64_t slot) { counts[slot]++; }
+  void bump(int64_t slot) {
+    if (collect_slots) {
+      slot_stream.push_back((int32_t)slot);
+      return;
+    }
+    counts[slot]++;
+  }
 
   void bump_hist(int64_t slot) {
+    if (collect_slots) {
+      if (counts[slot] == 0) {  // counts is a seen-flag only in this mode
+        counts[slot] = 1;
+        seen_order.push_back(slot);
+        seen_pos.push_back(cur_pos);
+      }
+      slot_stream.push_back((int32_t)slot);
+      return;
+    }
     if (counts[slot]++ == 0) seen_order.push_back(slot);
   }
 };
@@ -406,6 +435,7 @@ void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
       if (it == E.novel.end()) {
         E.novel.emplace(key, 1);
         E.novel_order.push_back(key);
+        if (E.collect_slots) E.novel_pos.emplace(key, E.cur_pos);
       } else {
         it->second++;
       }
@@ -770,6 +800,120 @@ int64_t gafcov_skipped(void *h) { return ((Engine *)h)->skipped; }
 int64_t gafcov_accepted(void *h) { return ((Engine *)h)->accepted; }
 
 void gafcov_destroy(void *h) { delete (Engine *)h; }
+
+// --- slot-stream session (native feed for the TPU device engine) ----------
+//
+// Mirrors the host/device split of the reference augmenter (host tokenize,
+// device accumulate — scripts/alignments_augmentation_from_gaf.py:134-371):
+// the native parser walks a byte range of the GAF and hands fixed-size
+// batches of flat slot indices to Python, which scatter-adds them on
+// device(s). First-seen sidecars (IL/OL offsets, novel edges, byte
+// positions) stay on the engine for byte-identical emission and
+// multi-process order merging.
+
+namespace {
+struct SlotSession {
+  Engine *E;
+  char *data = nullptr;
+  size_t map_size = 0;
+  const char *p = nullptr;
+  const char *end = nullptr;
+  int mapq_thr;
+  double max_dv;
+};
+}  // namespace
+
+// lo/hi: byte range to process (hi < 0 means EOF); returns nullptr on error
+// or when the slot space does not fit the int32 stream
+void *gafcov_slots_begin(void *h, const char *path, int64_t lo, int64_t hi,
+                         int mapq_thr, double max_dv) {
+  Engine *E = (Engine *)h;
+  if (E->total_slots > INT32_MAX) return nullptr;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  SlotSession *S = new SlotSession();
+  S->E = E;
+  S->mapq_thr = mapq_thr;
+  S->max_dv = max_dv;
+  if (st.st_size > 0) {
+    S->map_size = st.st_size;
+    S->data = (char *)mmap(nullptr, S->map_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (S->data == MAP_FAILED) {
+      close(fd);
+      delete S;
+      return nullptr;
+    }
+    madvise(S->data, S->map_size, MADV_SEQUENTIAL);
+    madvise(S->data, S->map_size, MADV_WILLNEED);
+    int64_t size = (int64_t)S->map_size;
+    if (hi < 0 || hi > size) hi = size;
+    if (lo < 0) lo = 0;
+    if (lo > hi) lo = hi;
+    S->p = S->data + lo;
+    S->end = S->data + hi;
+  }
+  close(fd);
+  E->collect_slots = true;
+  return S;
+}
+
+// Fill buf with up to cap slot indices; returns the count (0 = EOF drained).
+// Counters / seen sidecars keep accumulating on the engine as lines parse.
+int64_t gafcov_slots_next(void *s, int32_t *buf, int64_t cap) {
+  SlotSession *S = (SlotSession *)s;
+  Engine &E = *S->E;
+  while ((int64_t)E.slot_stream.size() < cap && S->p < S->end) {
+    const char *nl = (const char *)memchr(S->p, '\n', S->end - S->p);
+    const char *le = nl ? nl : S->end;
+    const char *ls = S->p;
+    E.cur_pos = ls - S->data;
+    while (le > ls && (le[-1] == '\r' || le[-1] == ' ')) --le;
+    if (le > ls) process_line(E, ls, le, S->mapq_thr, S->max_dv);
+    S->p = nl ? nl + 1 : S->end;
+  }
+  int64_t n = (int64_t)E.slot_stream.size();
+  if (n > cap) n = cap;
+  if (n) {
+    memcpy(buf, E.slot_stream.data(), n * sizeof(int32_t));
+    E.slot_stream.erase(E.slot_stream.begin(), E.slot_stream.begin() + n);
+  }
+  return n;
+}
+
+void gafcov_slots_end(void *s) {
+  SlotSession *S = (SlotSession *)s;
+  S->E->collect_slots = false;
+  S->E->slot_stream.clear();
+  S->E->slot_stream.shrink_to_fit();
+  if (S->data) munmap(S->data, S->map_size);
+  delete S;
+}
+
+// Overwrite the engine's counts with the device-reduced vector (the device
+// result is then what gafcov_emit / the sidecar accessors read).
+void gafcov_counts_set(void *h, const int32_t *vals) {
+  Engine *E = (Engine *)h;
+  memcpy(E->counts.data(), vals, E->counts.size() * sizeof(int32_t));
+}
+
+// byte offset of each first sighting, aligned with gafcov_seen_order
+const int64_t *gafcov_seen_pos(void *h) {
+  return ((Engine *)h)->seen_pos.data();
+}
+
+// first-seen byte offsets aligned with gafcov_novel_fill's key order
+void gafcov_novel_pos_fill(void *h, int64_t *poss) {
+  Engine *E = (Engine *)h;
+  for (size_t i = 0; i < E->novel_order.size(); ++i) {
+    auto it = E->novel_pos.find(E->novel_order[i]);
+    poss[i] = it == E->novel_pos.end() ? -1 : it->second;
+  }
+}
 
 // --- k-mer index utilities (mapper support) -------------------------------
 // This environment trap-emulates AVX numpy kernels (catastrophically slow

@@ -92,6 +92,20 @@ def _load():
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.gafcov_emit.restype = i64
     lib.gafcov_emit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.gafcov_slots_begin.restype = ctypes.c_void_p
+    lib.gafcov_slots_begin.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64, i64, ctypes.c_int, f64,
+    ]
+    lib.gafcov_slots_next.restype = i64
+    lib.gafcov_slots_next.argtypes = [ctypes.c_void_p, P(i32), i64]
+    lib.gafcov_slots_end.restype = None
+    lib.gafcov_slots_end.argtypes = [ctypes.c_void_p]
+    lib.gafcov_counts_set.restype = None
+    lib.gafcov_counts_set.argtypes = [ctypes.c_void_p, P(i32)]
+    lib.gafcov_seen_pos.restype = P(i64)
+    lib.gafcov_seen_pos.argtypes = [ctypes.c_void_p]
+    lib.gafcov_novel_pos_fill.restype = None
+    lib.gafcov_novel_pos_fill.argtypes = [ctypes.c_void_p, P(i64)]
     lib.gafcov_destroy.restype = None
     lib.gafcov_destroy.argtypes = [ctypes.c_void_p]
     lib.aln_create.restype = ctypes.c_void_p
@@ -290,6 +304,68 @@ class NativeCoverage:
     def counts_vector(self) -> np.ndarray:
         ptr = self.lib.gafcov_counts(self.handle)
         return np.ctypeslib.as_array(ptr, shape=(self.t.total_slots,)).copy()
+
+    # -- slot-stream session (the native feed for the device engine) --------
+
+    def slots_begin(
+        self,
+        gaf_path: str,
+        lo: int = 0,
+        hi: int = -1,
+        mapq_thr: int = 20,
+        max_dv: float = 0.1,
+    ):
+        """Open a slot-stream parse session over a GAF byte range."""
+        s = self.lib.gafcov_slots_begin(
+            self.handle, str(gaf_path).encode(), lo, hi, mapq_thr, max_dv
+        )
+        if not s:
+            raise IOError(f"cannot open slot session on {gaf_path}")
+        return s
+
+    def slots_next(self, session, buf: np.ndarray) -> int:
+        """Fill ``buf`` (contiguous int32) with slot indices; 0 = drained."""
+        return int(
+            self.lib.gafcov_slots_next(
+                session, _ptr(buf, ctypes.c_int32), len(buf)
+            )
+        )
+
+    def slots_end(self, session) -> None:
+        self.lib.gafcov_slots_end(session)
+
+    def set_counts(self, flat: np.ndarray) -> None:
+        """Overwrite engine counts with the device-reduced vector (it then
+        backs ``to_counts`` / ``emit``)."""
+        arr = np.ascontiguousarray(flat, dtype=np.int32)
+        assert len(arr) == self.t.total_slots
+        self.lib.gafcov_counts_set(self.handle, _ptr(arr, ctypes.c_int32))
+
+    def seen_sidecar(self):
+        """(seen_slots, first_seen_byte_pos) in first-seen order."""
+        n = int(self.lib.gafcov_seen_count(self.handle))
+        if not n:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        order = np.ctypeslib.as_array(
+            self.lib.gafcov_seen_order(self.handle), shape=(n,)
+        ).copy()
+        pos = np.ctypeslib.as_array(
+            self.lib.gafcov_seen_pos(self.handle), shape=(n,)
+        ).copy()
+        return order, pos
+
+    def novel_sidecar(self):
+        """(packed_keys, counts, first_seen_byte_pos) in first-seen order."""
+        n = int(self.lib.gafcov_novel_count(self.handle))
+        keys = np.zeros(n, dtype=np.uint64)
+        vals = np.zeros(n, dtype=np.int32)
+        poss = np.zeros(n, dtype=np.int64)
+        if n:
+            self.lib.gafcov_novel_fill(
+                self.handle, _ptr(keys, ctypes.c_uint64), _ptr(vals, ctypes.c_int32)
+            )
+            self.lib.gafcov_novel_pos_fill(self.handle, _ptr(poss, ctypes.c_int64))
+        return keys, vals, poss
 
     def to_counts(self) -> CoverageCounts:
         t = self.t

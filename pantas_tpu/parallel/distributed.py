@@ -50,6 +50,44 @@ def shard_byte_ranges(path: str, n: int):
     return [(bounds[i], bounds[i + 1]) for i in range(n)]
 
 
+def _native_sidecar(tensors, eng) -> dict:
+    """Convert the native engine's first-seen sidecars (slot order + byte
+    positions) into the per-process dict format ``_merge_sidecars`` expects
+    (the same structure the Python SlotEncoder records)."""
+    il_seen: dict = {}
+    ol_seen: dict = {}
+    order, pos = eng.seen_sidecar()
+    if len(order):
+        t = tensors
+        hist_total = int(t.ol_base[0] - t.il_base[0]) if t.n_nodes else 0
+        il_end = int(t.il_base[0]) + hist_total
+        for slot, p in zip(order, pos):
+            slot = int(slot)
+            if slot < il_end:
+                ni = int(np.searchsorted(t.il_base, slot, side="right")) - 1
+                il_seen.setdefault(ni, {})[slot - int(t.il_base[ni]) - 1] = int(p)
+            else:
+                ni = int(np.searchsorted(t.ol_base, slot, side="right")) - 1
+                ol_seen.setdefault(ni, {})[slot - int(t.ol_base[ni]) - 1] = int(p)
+    novel: dict = {}
+    novel_first: dict = {}
+    keys, vals, poss = eng.novel_sidecar()
+    for k, v, p in zip(keys, vals, poss):
+        key = (int(k >> np.uint64(32)), int(k & np.uint64(0xFFFFFFFF)))
+        novel[key] = int(v)
+        novel_first[key] = int(p)
+    lib, h = eng.lib, eng.handle
+    return {
+        "rejected": int(lib.gafcov_rejected(h)),
+        "skipped": int(lib.gafcov_skipped(h)),
+        "accepted": int(lib.gafcov_accepted(h)),
+        "il_seen": il_seen,
+        "ol_seen": ol_seen,
+        "novel": novel,
+        "novel_first": novel_first,
+    }
+
+
 def _merge_sidecars(tensors, sidecars):
     """Rebuild the single-stream encoder state from per-process sidecars."""
     from pantas_tpu.coverage.device import SlotEncoder
@@ -135,36 +173,65 @@ def augment_gfa_distributed(
 
     ranges = shard_byte_ranges(gaf_path, n_procs)
     lo, hi = ranges[proc_id]
-    t0 = time.time()
     flush_every = 1 << 20
-    with open(gaf_path, "rb") as fh:
-        fh.seek(lo)
-        pos = lo
-        while pos < hi:
-            raw = fh.readline()
-            if not raw:
-                break
-            enc.cur_pos = pos
-            pos += len(raw)
-            line = raw.decode()
-            if line.strip():
-                ev = read_events(parse_gaf_line(line), node_len, mapq_thr)
-                if ev is REJECTED:
-                    enc.rejected += 1
-                elif ev is SKIPPED:
-                    enc.skipped += 1
-                else:
-                    enc.accepted += 1
-                    enc.add(ev)
-            if len(enc.slots) >= flush_every:
-                batch = enc.take_slots()
-                for i in range(0, len(batch), flush_every):
-                    dev.add_slots(batch[i : i + flush_every], pad_to=flush_every)
-    if enc.slots:
-        batch = enc.take_slots()
-        for i in range(0, len(batch), flush_every):
-            dev.add_slots(batch[i : i + flush_every], pad_to=flush_every)
-    local = dev.result()
+    # compile the scatter step before the timed accumulate phase (an all-
+    # padding batch adds nothing; jit compile is per-process fixed overhead,
+    # not scaling work)
+    dev.add_slots(np.full(flush_every, -1, dtype=np.int32), pad_to=flush_every)
+    t0 = time.time()
+    native_eng = None
+    try:
+        from pantas_tpu.native.gafcov import NativeCoverage
+
+        native_eng = NativeCoverage(tensors)
+    except Exception as e:  # non-canonical ids / no toolchain
+        print(f"[augment-dist] python feed ({e})", file=log)
+    if native_eng is not None:
+        # fast path: native parse of this process's byte range feeding the
+        # local device(s); sidecars carry absolute byte offsets for the
+        # global first-seen order merge
+        sess = native_eng.slots_begin(gaf_path, lo, hi, mapq_thr)
+        try:
+            while True:
+                buf = np.empty(flush_every, dtype=np.int32)
+                n = native_eng.slots_next(sess, buf)
+                if n == 0:
+                    break
+                if n < flush_every:
+                    buf[n:] = -1
+                dev.add_slots(buf, pad_to=flush_every)
+            local = dev.result()
+        finally:
+            native_eng.slots_end(sess)
+    else:
+        with open(gaf_path, "rb") as fh:
+            fh.seek(lo)
+            pos = lo
+            while pos < hi:
+                raw = fh.readline()
+                if not raw:
+                    break
+                enc.cur_pos = pos
+                pos += len(raw)
+                line = raw.decode()
+                if line.strip():
+                    ev = read_events(parse_gaf_line(line), node_len, mapq_thr)
+                    if ev is REJECTED:
+                        enc.rejected += 1
+                    elif ev is SKIPPED:
+                        enc.skipped += 1
+                    else:
+                        enc.accepted += 1
+                        enc.add(ev)
+                if len(enc.slots) >= flush_every:
+                    batch = enc.take_slots()
+                    for i in range(0, len(batch), flush_every):
+                        dev.add_slots(batch[i : i + flush_every], pad_to=flush_every)
+        if enc.slots:
+            batch = enc.take_slots()
+            for i in range(0, len(batch), flush_every):
+                dev.add_slots(batch[i : i + flush_every], pad_to=flush_every)
+        local = dev.result()
     accum_s = time.time() - t0
 
     # ONE cross-process integer reduction (the framework's entire
@@ -173,20 +240,21 @@ def augment_gfa_distributed(
     global_counts = np.asarray(gathered).sum(axis=0).astype(np.int32)
 
     sidecar = os.path.join(workdir, f".augshard.{proc_id}.pkl")
+    if native_eng is not None:
+        sc = _native_sidecar(tensors, native_eng)
+    else:
+        sc = {
+            "rejected": enc.rejected,
+            "skipped": enc.skipped,
+            "accepted": enc.accepted,
+            "il_seen": enc.il_seen,
+            "ol_seen": enc.ol_seen,
+            "novel": enc.novel,
+            "novel_first": enc.novel_first,
+        }
+    sc["accum_s"] = accum_s
     with open(sidecar + ".tmp", "wb") as fh:
-        pickle.dump(
-            {
-                "rejected": enc.rejected,
-                "skipped": enc.skipped,
-                "accepted": enc.accepted,
-                "il_seen": enc.il_seen,
-                "ol_seen": enc.ol_seen,
-                "novel": enc.novel,
-                "novel_first": enc.novel_first,
-                "accum_s": accum_s,
-            },
-            fh,
-        )
+        pickle.dump(sc, fh)
     os.replace(sidecar + ".tmp", sidecar)
     multihost_utils.sync_global_devices("pantas-augment-sidecars")
 

@@ -94,6 +94,47 @@ def test_device_mesh_example_scale(tmp_path, example_graph):
     assert _augment_device(str(gaf), str(example_graph), mesh=mesh1) == host
     mesh2 = coverage_mesh_2d(jax.devices()[:8], 2, 4)
     assert _augment_device(str(gaf), str(example_graph), mesh=mesh2) == host
+    # production native feed on the real slot layout, both mesh shapes
+    assert _augment_device_native(str(gaf), str(example_graph), mesh=mesh1) == host
+    assert _augment_device_native(str(gaf), str(example_graph), mesh=mesh2) == host
+
+
+def _augment_device_native(gaf, gfa, mesh=None, flush_every=1 << 20):
+    import io as _io
+
+    from pantas_tpu.coverage.device import augment_gfa_device_native
+
+    buf, log = _io.StringIO(), _io.StringIO()
+    augment_gfa_device_native(
+        gaf, gfa, out=buf, mesh=mesh, flush_every=flush_every, log=log
+    )
+    return buf.getvalue()
+
+
+def test_device_native_feed_matches_host(tmp_path):
+    """The production path: native C++ parse -> device scatter-add must be
+    byte-identical to the host dict accumulator."""
+    gfa, gaf = write_micro(tmp_path)
+    host = _augment_host(gaf, gfa)
+    assert _augment_device_native(gaf, gfa) == host
+    # tiny batches force session carry-over between slots_next calls
+    assert _augment_device_native(gaf, gfa, flush_every=4) == host
+
+
+def test_device_native_feed_mesh_invariance(tmp_path):
+    import jax
+
+    from pantas_tpu.parallel.mesh import coverage_mesh_2d
+
+    gfa, gaf = write_micro(tmp_path)
+    host = _augment_host(gaf, gfa)
+    mesh1 = coverage_mesh(jax.devices()[:8])
+    assert _augment_device_native(gaf, gfa, mesh=mesh1) == host
+    assert _augment_device_native(gaf, gfa, mesh=mesh1, flush_every=4) == host
+    mesh2 = coverage_mesh_2d(jax.devices()[:8], 2, 4)
+    assert _augment_device_native(gaf, gfa, mesh=mesh2) == host
+    mesh2b = coverage_mesh_2d(jax.devices()[:8], 4, 2)
+    assert _augment_device_native(gaf, gfa, mesh=mesh2b, flush_every=8) == host
 
 
 def test_checkpoint_resume_reproduces_one_shot(tmp_path):
