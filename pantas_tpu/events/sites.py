@@ -70,8 +70,22 @@ def _is_reference_path(name: str) -> bool:
     return True
 
 
+def _is_subpath(name: str) -> bool:
+    """Reduce-mode sub-paths are named ``<chrom>.N`` (reference
+    ``build/reduce.py:40-44``); their coordinates restart at 1 per
+    sub-path, so they are only sub-path-local."""
+    head, _, tail = name.rpartition(".")
+    return bool(head) and tail.isdigit()
+
+
 def load_graph_meta(gfa_path: str) -> Dict[str, NodeMeta]:
-    """One pass over the (annotated, optionally augmented) GFA."""
+    """One pass over the (annotated, optionally augmented) GFA.
+
+    Genomic coordinates come from reference-named P lines. Exact
+    chromosome paths are preferred over reduce-mode ``<chrom>.N``
+    sub-paths (whose positions are sub-path-local — they restart at 1
+    per sub-path); reverse-oriented steps are skipped rather than mapped
+    to wrong coordinates (the walk position still advances)."""
     meta: Dict[str, NodeMeta] = {}
     ref_paths: List[Tuple[str, List[str]]] = []
     with open(gfa_path) as fh:
@@ -91,14 +105,17 @@ def load_graph_meta(gfa_path: str) -> Dict[str, NodeMeta]:
             elif c == "P":
                 f = line.rstrip("\n").split("\t")
                 if _is_reference_path(f[1]):
-                    ref_paths.append((f[1], [s[:-1] for s in f[2].split(",")]))
-    for chrom, nodes in ref_paths:
+                    ref_paths.append((f[1], f[2].split(",")))
+    # exact chromosome paths claim nodes before '.N' sub-paths
+    ref_paths.sort(key=lambda cn: _is_subpath(cn[0]))
+    for chrom, steps in ref_paths:
         pos = 1
-        for n in nodes:
+        for step in steps:
+            n, orient = step[:-1], step[-1:]
             m = meta.get(n)
             if m is None:
                 continue
-            if m.gchrom is None:
+            if m.gchrom is None and orient == "+":
                 m.gchrom = chrom
                 m.gstart = pos
             pos += m.length
@@ -166,6 +183,11 @@ def _scan_native(gaf_path, meta, min_clip, mapq_thr, max_dv):
         from pantas_tpu.native import clip_sites_native, native_available
 
         if not native_available():
+            return None
+        # the native scanner returns keys as str(int(id)): require canonical
+        # ids so '007'-style names neither crash the meta lookup nor merge
+        # silently with '7' (same guard as NativeCoverage / compile_gfa)
+        if not all(n.isdigit() and str(int(n)) == n for n in meta):
             return None
         ids = np.fromiter((int(n) for n in meta), dtype=np.int64, count=len(meta))
     except (ValueError, ImportError):

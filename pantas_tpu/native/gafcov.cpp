@@ -1177,6 +1177,13 @@ void clipsites_line(ClipSites &C, const char *line, const char *lend,
 extern "C" {
 
 void *clipsites_create(int64_t n, const int64_t *ids, const int32_t *lens) {
+  // the pile key packs offset into 19 bits and id into 43; a graph outside
+  // that envelope cannot be represented, so refuse the handle up front
+  // (the Python caller falls back to the host scanner) instead of letting
+  // add() silently drop sites and diverge from the Python oracle
+  for (int64_t i = 0; i < n; ++i)
+    if (lens[i] >= (1 << 19) || ids[i] < 0 || ids[i] >= ((int64_t)1 << 43))
+      return nullptr;
   ClipSites *C = new ClipSites();
   C->nlen.reserve((size_t)n * 2);
   for (int64_t i = 0; i < n; ++i) C->nlen.emplace(ids[i], lens[i]);

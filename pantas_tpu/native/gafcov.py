@@ -181,7 +181,9 @@ def clip_sites_native(
 
     ``node_ids``/``node_lens``: int64/int32 numpy arrays. Returns
     ``{(side_str, node_id_str, offset): [count, clip_max]}`` — the same
-    pile structure the Python detector builds (its oracle).
+    pile structure the Python detector builds (its oracle) — or ``None``
+    when the graph exceeds the native pile-key packing (node length >=
+    2^19 or id >= 2^43); the caller then uses the host scanner.
     """
     lib = _load()
     ids = np.ascontiguousarray(node_ids, dtype=np.int64)
@@ -191,6 +193,8 @@ def clip_sites_native(
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if not h:
+        return None
     try:
         n = lib.clipsites_process_file(
             h, str(gaf_path).encode(), mapq_thr, max_dv, min_clip

@@ -123,6 +123,83 @@ def test_transcript_paths_are_not_reference_paths(tmp_path):
     assert all(r.startswith("chrZ,") for r in rows)
 
 
+def test_noncanonical_ids_fall_back_to_host(tmp_path):
+    """ADVICE r2: zero-padded segment ids ('007') crashed the auto engine
+    with a KeyError ('7') and silently merged with '7' in the native
+    scanner; the canonicality guard must route them to the host path."""
+    gaf, gfa = _fixture(tmp_path)
+    gfa2 = tmp_path / "padded.gfa"
+    gfa2.write_text(
+        gfa.read_text().replace("\t2\t", "\t007\t").replace("2+", "007+")
+        .replace("\t2\n", "\t007\n")
+    )
+    gaf2 = tmp_path / "padded.gaf"
+    gaf2.write_text(gaf.read_text().replace(">2", ">007").replace("<2", "<007"))
+    auto = detect_novel_sites(str(gaf2), str(gfa2), w=3)  # must not raise
+    host = detect_novel_sites(str(gaf2), str(gfa2), w=3, engine="host")
+    assert auto == host
+    assert any(",007," in r for r in auto)
+
+
+def test_long_node_falls_back_to_host(tmp_path):
+    """ADVICE r2: the native pile key packs offsets into 19 bits; a 600 kb
+    node must make clipsites_create refuse so auto == host (previously the
+    native path silently returned no sites)."""
+    from pantas_tpu.native import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    long_seq = "A" * 600_000
+    gfa = tmp_path / "long.gfa"
+    gfa.write_text(
+        f"H\tVN:Z:1.0\nS\t1\t{long_seq}\nS\t2\tCCCCCCCCCC\nL\t1\t+\t2\t+\t0M\n"
+        "P\tchrZ\t1+,2+\t*\n"
+    )
+    lines = [
+        _gaf(f"s{i}", 700000, 30, 600000, ">1>2", 600010, 500000, 600005)
+        for i in range(4)
+    ]
+    gaf = tmp_path / "long.gaf"
+    gaf.write_text("\n".join(lines) + "\n")
+    host = detect_novel_sites(str(gaf), str(gfa), w=3, engine="host")
+    auto = detect_novel_sites(str(gaf), str(gfa), w=3)
+    assert auto == host
+    assert any(",start,1,500000," in r for r in host)  # the site IS found
+
+
+def test_reverse_path_steps_skip_coordinates(tmp_path):
+    """ADVICE r2: a reverse-oriented reference step ('2-') must not claim a
+    forward-offset genomic mapping; sites on that node report '?' while the
+    walk position still advances for downstream nodes."""
+    gaf, gfa = _fixture(tmp_path)
+    gfa2 = tmp_path / "rev.gfa"
+    gfa2.write_text(gfa.read_text().replace("P\tchrZ\t1+,2+,3+\t*", "P\tchrZ\t1+,2-,3+\t*"))
+    rows = detect_novel_sites(str(gaf), str(gfa2), w=3)
+    by_node = {r.split(",")[3]: r for r in rows}
+    assert by_node["2"].startswith("?,?,")  # no wrong coordinate emitted
+    assert by_node["3"].startswith("chrZ,28,")  # node 3 still at 21+7
+
+
+def test_subpath_coordinates_yield_to_exact_chrom(tmp_path):
+    """ADVICE r2: reduce-mode '<chrom>.N' sub-paths restart positions at 1;
+    when an exact chromosome path also covers the node it must win
+    regardless of P-line order."""
+    gaf, gfa = _fixture(tmp_path)
+    gfa2 = tmp_path / "sub.gfa"
+    # sub-path FIRST in the file; previously first-claimant-wins made its
+    # local coordinates stick
+    gfa2.write_text(
+        gfa.read_text().replace(
+            "P\tchrZ\t1+,2+,3+\t*", "P\tchrZ.1\t2+,3+\t*\nP\tchrZ\t1+,2+,3+\t*"
+        )
+    )
+    assert detect_novel_sites(str(gaf), str(gfa2), w=3) == detect_novel_sites(
+        str(gaf), str(gfa), w=3
+    )
+
+
 def test_native_scanner_matches_python(tmp_path):
     from pantas_tpu.native import native_available
 
