@@ -105,15 +105,17 @@ def bench_native(gfa, big, n_reads):
 
 
 def bench_call(gfa):
-    """Secondary metric (stderr): annotated event calling, ours vs reference."""
+    """Secondary metric (stderr): event calling on the HEAVY workload (the
+    1M-record augmented GFA), ours vs reference, annotated + novel modes.
+    Both sides take their best of 2+ runs on identical inputs."""
     import io
 
-    aug = CACHE / "augmented.gfa"
+    aug = CACHE / "augmented_big.gfa"
     if not aug.exists():
         from pantas_tpu.native import augment_gfa_native
 
         with open(aug, "w") as out:
-            augment_gfa_native(str(CACHE / "sample.gaf"), str(gfa), out=out, log=io.StringIO())
+            augment_gfa_native(str(CACHE / "big.gaf"), str(gfa), out=out, log=io.StringIO())
     gtf = str(EXAMPLE / "4.gtf")
 
     from pantas_tpu.events import CallOptions, call_events
@@ -126,14 +128,31 @@ def bench_call(gfa):
         dt = d if dt is None else min(dt, d)
     log(f"call (ours): {n_events} events in {dt:.2f}s = {n_events / dt:.0f} events/s")
 
-    t0 = time.time()
-    with open(os.devnull, "w") as devnull:
-        subprocess.run(
-            [sys.executable, "/root/reference/scripts/call.py", "--rca", "0", str(aug), gtf],
-            stdout=devnull, stderr=subprocess.DEVNULL, check=True, timeout=600,
-        )
-    dt_ref = time.time() - t0
+    dt_ref = None  # best of 2 (parity with our steady-state convention)
+    for _ in range(2):
+        t0 = time.time()
+        with open(os.devnull, "w") as devnull:
+            subprocess.run(
+                [sys.executable, "/root/reference/scripts/call.py", "--rca", "0", str(aug), gtf],
+                stdout=devnull, stderr=subprocess.DEVNULL, check=True, timeout=600,
+            )
+        d = time.time() - t0
+        dt_ref = d if dt_ref is None else min(dt_ref, d)
     log(f"call (reference): {dt_ref:.2f}s -> ours {dt_ref / dt:.1f}x faster")
+
+    # novel mode: ours completes the full annotated+novel enumeration; the
+    # reference takes ~5 min on this input and then crashes on an empty
+    # max() (reference call.py:1049, see docs/PERFORMANCE.md), so only our
+    # side is timeable.
+    t0 = time.time()
+    n_novel = sum(
+        1 for _ in call_events(str(aug), gtf, CallOptions(rca=0, novel=True))
+    ) - 1
+    d = time.time() - t0
+    log(
+        f"call --novel (ours): {n_novel} events in {d:.2f}s = {n_novel / d:.0f} "
+        "events/s (reference: ~5 min then crash, not timeable)"
+    )
 
 
 def bench_device(gfa, big, n_reads):

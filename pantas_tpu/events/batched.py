@@ -79,6 +79,39 @@ def _bitset_matrix(sets: Sequence[Set[int]], vocab: int) -> np.ndarray:
     return out
 
 
+class _BlockVocab:
+    """Per-block (per-gene) token id spaces.
+
+    Every candidate's device AND/compare only touches rows built under the
+    SAME gene, so token ids may restart at 0 per block: the bitset matrix
+    width becomes the max block vocabulary instead of the global one. At
+    genome scale this is the difference between ~20 GB / minutes of matrix
+    fill (measured, 554k-node graph) and megabytes — the 'bitset vocab
+    sizing' fix. Ids are injective within a block, so set algebra results
+    are exact; rows of different blocks share columns but never meet.
+    """
+
+    def __init__(self):
+        self.maps: Dict[object, Dict[str, int]] = {}
+
+    def block(self, key) -> Dict[str, int]:
+        return self.maps.setdefault(key, {})
+
+    def ids(self, block_map: Dict[str, int], items) -> Set[int]:
+        out = set()
+        for x in items:
+            i = block_map.get(x)
+            if i is None:
+                i = len(block_map)
+                block_map[x] = i
+            out.add(i)
+        return out
+
+    @property
+    def width(self) -> int:
+        return max((len(m) for m in self.maps.values()), default=0)
+
+
 def find_annotated_es(
     graph: SplicingGraph,
     t2g: Dict[str, str],
@@ -93,37 +126,46 @@ def find_annotated_es(
     if not junctions:
         return set()
 
-    # --- tokenize transcripts and exon labels ---------------------------
-    t_vocab: Dict[str, int] = {}
-    e_vocab: Dict[str, int] = {}
+    # --- per-gene block vocabularies (see _BlockVocab) -------------------
+    tv = _BlockVocab()  # transcripts
+    ev = _BlockVocab()  # exon labels
 
-    def t_id(t: str) -> int:
-        return t_vocab.setdefault(t, len(t_vocab))
-
-    def e_id(e: str) -> int:
-        return e_vocab.setdefault(e, len(e_vocab))
-
-    j_index = {j: i for i, j in enumerate(junctions)}
-    j_tsets: List[Set[int]] = []
-    j_gene: List[object] = []
+    j_gene: Dict[Jct, object] = {}
     for j in junctions:
-        hts = graph.jn_keys(j)
-        j_tsets.append({t_id(t) for t in hts})
-        genes = _genes_of_hts(hts, t2g)
-        j_gene.append(next(iter(genes)) if len(genes) == 1 else None)
+        genes = _genes_of_hts(graph.jn_keys(j), t2g)
+        j_gene[j] = next(iter(genes)) if len(genes) == 1 else None
 
-    # raw exon-label bitsets for every node that flanks a junction
-    nodes = sorted({n for j in junctions for n in j})
-    n_index = {n: i for i, n in enumerate(nodes)}
-    n_esets = [{e_id(e) for e in graph.exset(n)} for n in nodes]
+    # T rows keyed (gene, junction); E rows keyed (gene, node)
+    t_rows: List[Set[int]] = []
+    t_row_of: Dict[Tuple[object, Jct], int] = {}
+    e_rows: List[Set[int]] = []
+    e_row_of: Dict[Tuple[object, str], int] = {}
+
+    def t_row(gene, tmap, j: Jct) -> int:
+        key = (gene, j)
+        r = t_row_of.get(key)
+        if r is None:
+            r = len(t_rows)
+            t_rows.append(tv.ids(tmap, graph.jn_keys(j)))
+            t_row_of[key] = r
+        return r
+
+    def e_row(gene, emap, n: str) -> int:
+        key = (gene, n)
+        r = e_row_of.get(key)
+        if r is None:
+            r = len(e_rows)
+            e_rows.append(ev.ids(emap, graph.exset(n)))
+            e_row_of[key] = r
+        return r
 
     # --- host-side candidate enumeration (cheap endpoint grouping) ------
-    cands: List[Tuple[int, int, int]] = []
+    cands: List[Tuple[Jct, Jct, Jct]] = []
+    idx = {k: [] for k in ("jJ", "j1", "j2", "j1_tail", "j2_head", "ef")}
     filt_sets: List[Set[int]] = []  # per-candidate gene-filtered (Ef row)
-    filt_cache: Dict[Jct, Set[int]] = {}
+    filt_row: Dict[Jct, int] = {}
     for J in junctions:
-        ji = j_index[J]
-        gene = j_gene[ji]
+        gene = j_gene[J]
         if gene is None or graph.rc(J) < rca:
             continue
         Js1 = graph.j_by_head.get(J[0], graph._empty_j) - {J}
@@ -132,51 +174,58 @@ def find_annotated_es(
         Js2 = {x for x in Js2 if gene in graph.jn_genes(x, t2g)}
         if not Js1 or not Js2:
             continue
-        if J not in filt_cache:
-            filt = {
-                e_id(e)
-                for n in J
-                for e in graph.exset(n)
-                if t2g[_exon_label_th(e)[0]] == gene
-            }
-            filt_cache[J] = filt
+        tmap = tv.block(gene)
+        emap = ev.block(gene)
+        if J not in filt_row:
+            filt_row[J] = len(filt_sets)
+            filt_sets.append(
+                ev.ids(
+                    emap,
+                    (
+                        e
+                        for n in J
+                        for e in graph.exset(n)
+                        if t2g[_exon_label_th(e)[0]] == gene
+                    ),
+                )
+            )
+        rJ = t_row(gene, tmap, J)
         for j1 in sorted(Js1):
+            r1 = t_row(gene, tmap, j1)
+            e1 = e_row(gene, emap, j1[1])
             for j2 in sorted(Js2):
-                cands.append((ji, j_index[j1], j_index[j2]))
-                filt_sets.append(filt_cache[J])
+                cands.append((J, j1, j2))
+                idx["jJ"].append(rJ)
+                idx["j1"].append(r1)
+                idx["j2"].append(t_row(gene, tmap, j2))
+                idx["j1_tail"].append(e1)
+                idx["j2_head"].append(e_row(gene, emap, j2[0]))
+                idx["ef"].append(filt_row[J])
     if not cands:
         return set()
 
     # --- device evaluation: gathers + bitwise ops + any-reduce ----------
-    T = jnp.asarray(_bitset_matrix(j_tsets, len(t_vocab)))
-    E = jnp.asarray(_bitset_matrix(n_esets, len(e_vocab)))
-    Ef = jnp.asarray(_bitset_matrix(filt_sets, len(e_vocab)))
+    T = jnp.asarray(_bitset_matrix(t_rows, tv.width))
+    E = jnp.asarray(_bitset_matrix(e_rows, ev.width))
+    Ef = jnp.asarray(_bitset_matrix(filt_sets, ev.width))
 
-    c = np.asarray(cands, dtype=np.int32)
-    jJ, j1, j2 = c[:, 0], c[:, 1], c[:, 2]
-    j1_tail = np.asarray([n_index[junctions[i][1]] for i in j1], dtype=np.int32)
-    j2_head = np.asarray([n_index[junctions[i][0]] for i in j2], dtype=np.int32)
+    ix = {k: jnp.asarray(np.asarray(v, dtype=np.int32)) for k, v in idx.items()}
 
     @jax.jit
-    def match(T, E, Ef, jJ, j1, j2, j1_tail, j2_head):
+    def match(T, E, Ef, jJ, j1, j2, j1_tail, j2_head, ef):
         inclusion = (T[j1] & T[j2]) & ~T[jJ]
         has_inclusion = jnp.any(inclusion != 0, axis=1)
-        new_exons = (E[j1_tail] | E[j2_head]) & ~Ef
+        new_exons = (E[j1_tail] | E[j2_head]) & ~Ef[ef]
         has_new = jnp.any(new_exons != 0, axis=1)
         return has_inclusion & has_new
 
     hits = np.asarray(
         match(
             T, E, Ef,
-            jnp.asarray(jJ), jnp.asarray(j1), jnp.asarray(j2),
-            jnp.asarray(j1_tail), jnp.asarray(j2_head),
+            ix["jJ"], ix["j1"], ix["j2"], ix["j1_tail"], ix["j2_head"], ix["ef"],
         )
     )
-    return {
-        (junctions[a], junctions[b], junctions[cc])
-        for (a, b, cc), hit in zip(cands, hits)
-        if hit
-    }
+    return {c for c, hit in zip(cands, hits) if hit}
 
 
 def find_annotated_ss(
@@ -202,47 +251,37 @@ def find_annotated_ss(
     if not junctions:
         return Counter()
 
-    e_vocab: Dict[str, int] = {}
+    ev = _BlockVocab()  # per-gene exon-label ids (the Ex AND confines every
+    # candidate's algebra to its own gene's labels, so blocking is exact)
 
-    def e_id(e: str) -> int:
-        return e_vocab.setdefault(e, len(e_vocab))
+    # E rows keyed (gene, node); Ex rows keyed (gene, J, side); X rows per
+    # (gene, J) — X depends on the block's FINAL vocab, so only keys are
+    # recorded during enumeration and the rows fill after the freeze.
+    e_rows: List[Set[int]] = []
+    e_row_of: Dict[Tuple[object, str], int] = {}
+    ex_rows: List[Set[int]] = []
+    x_keys: List[Tuple[object, Jct]] = []
+    x_row_of: Dict[Tuple[object, Jct], int] = {}
 
-    j_index = {j: i for i, j in enumerate(junctions)}
-
-    # per-junction gene (unique or None) and haplotype-transcript key set
-    j_gene: List[object] = []
-    j_htkeys: List[Set[str]] = []
-    for j in junctions:
-        hts = graph.jn_keys(j)
-        genes = _genes_of_hts(hts, t2g)
-        j_gene.append(next(iter(genes)) if len(genes) == 1 else None)
-        j_htkeys.append(set(hts))
+    def e_row(gene, emap, n: str) -> int:
+        key = (gene, n)
+        r = e_row_of.get(key)
+        if r is None:
+            r = len(e_rows)
+            e_rows.append(ev.ids(emap, graph.exset(n)))
+            e_row_of[key] = r
+        return r
 
     # candidate enumeration (cheap host adjacency/endpoint grouping)
-    # branch 0 = donor side (A5 on '+'), branch 1 = acceptor side (A3 on '+')
-    cands: List[Tuple[int, int, int, int]] = []  # (branch, ji, n_node, far_node)
     keys: List[Tuple[str, Jct, Jct]] = []
-    ex_side: List[Set[int]] = []  # gene-filtered exon ids of J's head/tail node
-    x_sets: List[Set[int]] = []  # exon ids whose transcript is on J
-    node_ids: Dict[str, int] = {}
-
-    def n_id(n: str) -> int:
-        return node_ids.setdefault(n, len(node_ids))
-
-    n_esets_raw: Dict[str, Set[int]] = {}
-
-    def eset(n: str) -> Set[int]:
-        s = n_esets_raw.get(n)
-        if s is None:
-            s = {e_id(e) for e in graph.exset(n)}
-            n_esets_raw[n] = s
-        return s
-
-    # exon labels grouped by transcript key, for X[J] = union over J's hts
-    # (built lazily after the vocab is complete — record per-J key sets now)
+    idx_n: List[int] = []
+    idx_f: List[int] = []
+    idx_ex: List[int] = []
+    idx_x: List[int] = []
     for J in junctions:
-        ji = j_index[J]
-        gene = j_gene[ji]
+        hts = graph.jn_keys(J)
+        genes = _genes_of_hts(hts, t2g)
+        gene = next(iter(genes)) if len(genes) == 1 else None
         if gene is None or graph.rc(J) < rca:
             continue
         Js1 = graph.j_by_head.get(J[0], graph._empty_j) - {J}
@@ -250,81 +289,97 @@ def find_annotated_ss(
         Js1 = {x for x in Js1 if gene in graph.jn_genes(x, t2g)}
         Js2 = {x for x in Js2 if gene in graph.jn_genes(x, t2g)}
         strand = genestrand[gene]
+        emap = ev.block(gene)
 
-        exons1 = {
-            e_id(e)
-            for e in graph.exset(J[0])
-            if t2g[_exon_label_th(e)[0]] == gene
-        }
-        exons2 = {
-            e_id(e)
-            for e in graph.exset(J[1])
-            if t2g[_exon_label_th(e)[0]] == gene
-        }
+        xkey = (gene, J)
+        xr = x_row_of.get(xkey)
+        if xr is None:
+            xr = len(x_keys)
+            x_keys.append(xkey)
+            x_row_of[xkey] = xr
 
+        ex1 = ex2 = None
         if Js2:
+            ex1 = len(ex_rows)
+            ex_rows.append(
+                ev.ids(
+                    emap,
+                    (e for e in graph.exset(J[0])
+                     if t2g[_exon_label_th(e)[0]] == gene),
+                )
+            )
             etype = "A5" if strand == "+" else "A3"
             for n in graph.out(J[0]):
                 if n == J[1]:
                     continue
+                rn = e_row(gene, emap, n)
                 for j2 in sorted(Js2):
                     if j2[0] == J[0]:
                         continue
-                    cands.append((0, ji, n_id(n), n_id(j2[0])))
                     keys.append((etype, J, j2))
-                    ex_side.append(exons1)
-                    x_sets.append(ji)  # placeholder, resolved below
+                    idx_n.append(rn)
+                    idx_f.append(e_row(gene, emap, j2[0]))
+                    idx_ex.append(ex1)
+                    idx_x.append(xr)
         if Js1:
+            ex2 = len(ex_rows)
+            ex_rows.append(
+                ev.ids(
+                    emap,
+                    (e for e in graph.exset(J[1])
+                     if t2g[_exon_label_th(e)[0]] == gene),
+                )
+            )
             etype = "A3" if strand == "+" else "A5"
             for n in graph.inc(J[1]):
                 if n == J[0]:
                     continue
+                rn = e_row(gene, emap, n)
                 for j1 in sorted(Js1):
                     if j1[1] == J[1]:
                         continue
-                    cands.append((1, ji, n_id(n), n_id(j1[1])))
                     keys.append((etype, J, j1))
-                    ex_side.append(exons2)
-                    x_sets.append(ji)
-    if not cands:
+                    idx_n.append(rn)
+                    idx_f.append(e_row(gene, emap, j1[1]))
+                    idx_ex.append(ex2)
+                    idx_x.append(xr)
+    if not keys:
         return Counter()
 
-    # materialize node exon bitsets for every node a candidate touches
-    for n in list(node_ids):
-        eset(n)
-    vocab = len(e_vocab)
-
-    # X[J]: exon-label ids whose transcript key is in J's ht set — over the
-    # final vocab (labels only enter the vocab via candidate-relevant nodes)
-    t2e: Dict[str, Set[int]] = {}
-    for e, i in e_vocab.items():
-        t2e.setdefault(_exon_label_th(e)[0], set()).add(i)
-    x_cache: Dict[int, Set[int]] = {}
+    # X[(g, J)]: label ids (in g's frozen vocab) whose transcript is on J
+    t2e_of_block: Dict[object, Dict[str, Set[int]]] = {}
     x_rows: List[Set[int]] = []
-    for ji in x_sets:
-        s = x_cache.get(ji)
-        if s is None:
-            s = set()
-            for t in j_htkeys[ji]:
-                s |= t2e.get(t, set())
-            x_cache[ji] = s
+    for gene, J in x_keys:
+        t2e = t2e_of_block.get(gene)
+        if t2e is None:
+            t2e = {}
+            for e, i in ev.block(gene).items():
+                t2e.setdefault(_exon_label_th(e)[0], set()).add(i)
+            t2e_of_block[gene] = t2e
+        s: Set[int] = set()
+        for t in graph.jn_keys(J):
+            s |= t2e.get(t, set())
         x_rows.append(s)
 
-    node_rows = [set() for _ in range(len(node_ids))]
-    for n, i in node_ids.items():
-        node_rows[i] = n_esets_raw[n]
-    E = jnp.asarray(_bitset_matrix(node_rows, vocab))
-    Ex = jnp.asarray(_bitset_matrix(ex_side, vocab))
+    vocab = ev.width
+    E = jnp.asarray(_bitset_matrix(e_rows, vocab))
+    Ex = jnp.asarray(_bitset_matrix(ex_rows, vocab))
     X = jnp.asarray(_bitset_matrix(x_rows, vocab))
 
-    c = np.asarray([(n, f) for _, _, n, f in cands], dtype=np.int32)
-
     @jax.jit
-    def match(E, Ex, X, nn, ff):
-        hit = (E[nn] & Ex & E[ff]) & ~X
+    def match(E, Ex, X, nn, ff, exi, xi):
+        hit = (E[nn] & Ex[exi] & E[ff]) & ~X[xi]
         return jnp.any(hit != 0, axis=1)
 
-    hits = np.asarray(match(E, Ex, X, jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1])))
+    hits = np.asarray(
+        match(
+            E, Ex, X,
+            jnp.asarray(np.asarray(idx_n, dtype=np.int32)),
+            jnp.asarray(np.asarray(idx_f, dtype=np.int32)),
+            jnp.asarray(np.asarray(idx_ex, dtype=np.int32)),
+            jnp.asarray(np.asarray(idx_x, dtype=np.int32)),
+        )
+    )
     return Counter(k for k, h in zip(keys, hits) if h)
 
 
@@ -346,19 +401,8 @@ def find_novel_es(
     import jax
     import jax.numpy as jnp
 
-    junctions = sorted(graph.junctions)
-    if not junctions or not graph.novel_junctions:
+    if not graph.junctions or not graph.novel_junctions:
         return set()
-    j_index = {j: i for i, j in enumerate(junctions)}
-
-    t_vocab: Dict[str, int] = {}
-
-    def t_id(t: str) -> int:
-        return t_vocab.setdefault(t, len(t_vocab))
-
-    j_tsets: List[Set[int]] = [
-        {t_id(t) for t in graph.jn_keys(j)} for j in junctions
-    ]
 
     cands: List[Tuple[Jct, Jct, Jct]] = []
     for J in sorted(graph.novel_junctions):
@@ -377,6 +421,20 @@ def find_novel_es(
                 cands.append((J, (J[0], n), (q, J[1])))
     if not cands:
         return set()
+
+    # T rows only for junctions a candidate references (novel neighborhoods
+    # are local — building rows for every junction in the graph was the
+    # genome-scale memory hog)
+    t_vocab: Dict[str, int] = {}
+
+    def t_id(t: str) -> int:
+        return t_vocab.setdefault(t, len(t_vocab))
+
+    used = sorted({c[1] for c in cands} | {c[2] for c in cands})
+    j_index = {j: i for i, j in enumerate(used)}
+    j_tsets: List[Set[int]] = [
+        {t_id(t) for t in graph.jn_keys(j)} for j in used
+    ]
 
     T = jnp.asarray(_bitset_matrix(j_tsets, len(t_vocab)))
     j1 = np.asarray([j_index[c[1]] for c in cands], dtype=np.int32)
@@ -410,15 +468,25 @@ def find_annotated_ir(
     import jax
     import jax.numpy as jnp
 
-    e_vocab: Dict[str, int] = {}
-
-    def e_id(e: str) -> int:
-        return e_vocab.setdefault(e, len(e_vocab))
+    ev = _BlockVocab()  # per-gene label ids (exact: the AND is confined to
+    # EJ, a gene-filtered set, so cross-block collisions never meet)
 
     cands: List[Tuple[Jct, str, str]] = []  # product order within each J
     cand_row: List[int] = []
+    cand_node_idx: List[Tuple[int, int]] = []
     ej_sets: List[Set[int]] = []
-    cand_nodes: Set[str] = set()
+    node_keys: List[Tuple[object, str]] = []  # (gene, node) per E row
+    node_row_of: Dict[Tuple[object, str], int] = {}
+
+    def n_row(gene, n: str) -> int:
+        key = (gene, n)
+        r = node_row_of.get(key)
+        if r is None:
+            r = len(node_keys)
+            node_keys.append(key)
+            node_row_of[key] = r
+        return r
+
     for J in sorted(graph.junctions):
         if graph.rc(J) < rca:
             continue
@@ -430,8 +498,10 @@ def find_annotated_ir(
         ) & _same_gene_exons_cached(graph, J[1], genes, t2g)
         if not exons:
             continue
+        gene = next(iter(genes))
+        emap = ev.block(gene)
         row = len(ej_sets)
-        ej_sets.append({e_id(e) for e in exons})
+        ej_sets.append(ev.ids(emap, exons))
         for n1, n2 in product(graph.out(J[0]), graph.inc(J[1])):
             if n1 == J[1] or n2 == J[0]:
                 continue
@@ -439,23 +509,20 @@ def find_annotated_ir(
                 continue
             cands.append((J, n1, n2))
             cand_row.append(row)
-            cand_nodes.add(n1)
-            cand_nodes.add(n2)
+            cand_node_idx.append((n_row(gene, n1), n_row(gene, n2)))
     if not cands:
         return {}
 
-    # node exon bitsets restricted to the (frozen) junction-exon vocab —
-    # a label outside every EJ row can never fire the AND
-    n_index = {n: i for i, n in enumerate(sorted(cand_nodes))}
-    node_rows: List[Set[int]] = [set() for _ in n_index]
-    for n, i in n_index.items():
-        node_rows[i] = {
-            e_vocab[e] for e in graph.exset(n) if e in e_vocab
-        }
-    E = jnp.asarray(_bitset_matrix(node_rows, len(e_vocab)))
-    EJ = jnp.asarray(_bitset_matrix(ej_sets, len(e_vocab)))
-    n1s = np.asarray([n_index[c[1]] for c in cands], dtype=np.int32)
-    n2s = np.asarray([n_index[c[2]] for c in cands], dtype=np.int32)
+    # node exon bitsets restricted to each block's (frozen) junction-exon
+    # vocab — a label outside every EJ row can never fire the AND
+    node_rows: List[Set[int]] = []
+    for gene, n in node_keys:
+        emap = ev.block(gene)
+        node_rows.append({emap[e] for e in graph.exset(n) if e in emap})
+    E = jnp.asarray(_bitset_matrix(node_rows, ev.width))
+    EJ = jnp.asarray(_bitset_matrix(ej_sets, ev.width))
+    n1s = np.asarray([a for a, _ in cand_node_idx], dtype=np.int32)
+    n2s = np.asarray([b for _, b in cand_node_idx], dtype=np.int32)
     rows = np.asarray(cand_row, dtype=np.int32)
 
     @jax.jit

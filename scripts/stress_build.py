@@ -21,12 +21,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-MBP = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
-N_VAR = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
-N_GENES = int(sys.argv[3]) if len(sys.argv) > 3 else 400
-N_SAMPLES = int(sys.argv[4]) if len(sys.argv) > 4 else 20
-N_CHROMS = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-THREADS = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+# defaults; the __main__ block overrides from argv (kept out of import time
+# so other scripts can import gen_inputs)
+MBP = 10.0
+N_VAR = 50_000
+N_GENES = 400
+N_SAMPLES = 20
+N_CHROMS = 1
+THREADS = 1
 
 
 def log(msg):
@@ -39,8 +41,20 @@ def rss_gb():
     return max(self_rss, child_rss) / 1e6
 
 
-def gen_inputs(wd: Path):
+def gen_inputs(wd: Path, mbp=None, n_var=None, n_genes=None, n_samples=None,
+               n_chroms=None, n_exons=5, n_tx=2):
+    """Write synthetic FA/GTF/VCF into wd (importable; args default to the
+    CLI globals so the script behaves as before). ``n_exons``/``n_tx``
+    control isoform richness: transcript 1 is the full exon chain, each
+    further isoform skips a different internal exon (ES-dense annotation
+    for call-stage benchmarks)."""
     import numpy as np
+
+    MBP = mbp if mbp is not None else globals()["MBP"]
+    N_VAR = n_var if n_var is not None else globals()["N_VAR"]
+    N_GENES = n_genes if n_genes is not None else globals()["N_GENES"]
+    N_SAMPLES = n_samples if n_samples is not None else globals()["N_SAMPLES"]
+    N_CHROMS = n_chroms if n_chroms is not None else globals()["N_CHROMS"]
 
     rng = np.random.default_rng(11)
     L = int(MBP * 1e6) // N_CHROMS
@@ -71,11 +85,16 @@ def gen_inputs(wd: Path):
         for gi in range(genes_per_chrom):
             gstart = span * (gi + 1)
             exons = [
-                (gstart + k * 500 + 1, gstart + k * 500 + 200) for k in range(5)
+                (gstart + k * 500 + 1, gstart + k * 500 + 200)
+                for k in range(n_exons)
             ]
-            for t in (1, 2):
+            for t in range(1, n_tx + 1):
                 tid = f"T{ci}_{gi}_{t}"
-                ex = exons if t == 1 else exons[:2] + exons[3:]
+                if t == 1:
+                    ex = exons
+                else:  # skip a distinct internal exon per isoform
+                    skip = 1 + (t - 2) % max(n_exons - 2, 1)
+                    ex = exons[:skip] + exons[skip + 1 :]
                 gtf.write(
                     "\t".join(
                         [chrom, "s", "transcript", str(ex[0][0]), str(ex[-1][1]),
@@ -184,4 +203,10 @@ def main():
 
 
 if __name__ == "__main__":
+    MBP = float(sys.argv[1]) if len(sys.argv) > 1 else MBP
+    N_VAR = int(sys.argv[2]) if len(sys.argv) > 2 else N_VAR
+    N_GENES = int(sys.argv[3]) if len(sys.argv) > 3 else N_GENES
+    N_SAMPLES = int(sys.argv[4]) if len(sys.argv) > 4 else N_SAMPLES
+    N_CHROMS = int(sys.argv[5]) if len(sys.argv) > 5 else N_CHROMS
+    THREADS = int(sys.argv[6]) if len(sys.argv) > 6 else THREADS
     main()
