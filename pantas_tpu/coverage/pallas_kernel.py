@@ -88,6 +88,117 @@ def xla_scatter_add(counts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return counts.at[safe].add((idx >= 0).astype(counts.dtype))
 
 
+# --- sorted-run coalescing kernel (second attempt, VERDICT r2 #7) ----------
+#
+# The one-hot RMW kernel above loses to XLA because every index serializes a
+# 1024-lane read-modify-write. This design restructures the histogram as
+# MXU work:
+#
+#   1. XLA sorts the index stream (descending runs of equal/near slots).
+#   2. searchsorted splits the sorted stream at counts-window boundaries
+#      (W tiles = W*1024 slots per window) — each window's elements are one
+#      contiguous stream segment [lo_c, hi_c).
+#   3. A Pallas kernel grids over windows. Per CH-element chunk of the
+#      segment it builds two lanes-major one-hot matrices
+#         R[r, k]  = (row_of(e_k) == r)   row_of = (e >> 7) - window_base
+#         LT[l, k] = ((e_k & 127) == l)
+#      and accumulates  hist += R · LTᵀ  — a (128, CH) x (CH, 128) MXU
+#      matmul whose (row, lane) output IS the window's (sublane, lane)
+#      count layout. No transposes, no scatter: compare + matmul.
+#
+# Padding (-1) sorts first and is excluded by lo_0 = searchsorted(s, 0);
+# bf16 one-hots are exact and CH <= 2048 keeps f32 accumulation exact.
+# Sparse streams (elements << windows) would waste window DMAs, so
+# pick_scatter_impl races this against XLA scatter per regime and the
+# device engine uses the winner.
+
+W_TILES = 16  # counts window = W_TILES * 1024 slots -> (128, 128) block
+CH = 2048  # stream elements per inner matmul
+
+
+def sorted_coverage_scatter_add(
+    counts: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """counts[idx] += 1 (idx < 0 padding): sort + windowed MXU histogram."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = counts.shape[0]
+    m = idx.shape[0]
+    win = W_TILES * 1024
+    n_chunks = -(-n // win)
+    padded = n_chunks * win
+
+    s = jnp.sort(idx)
+    s_pad = jnp.concatenate(
+        [s, jnp.full((CH,), jnp.int32(2**30), dtype=s.dtype)]
+    )
+    bounds = jnp.searchsorted(
+        s, jnp.arange(0, padded + 1, win, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    lo, hi = bounds[:-1], bounds[1:]
+
+    counts2d = jnp.pad(counts, (0, padded - n)).reshape(n_chunks * 128, 128)
+
+    def kernel(lo_ref, hi_ref, s_ref, counts_ref, out_ref, e_scr, hist, sem):
+        c = pl.program_id(0)
+        clo = lo_ref[c]
+        chi = hi_ref[c]
+        base_row = c * (W_TILES * 8)
+        hist[:] = jnp.zeros_like(hist)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+
+        def body(k, _):
+            ofs = clo + k * CH
+            dma = pltpu.make_async_copy(
+                s_ref.at[pl.ds(ofs, CH)], e_scr, sem
+            )
+            dma.start()
+            dma.wait()
+            e = e_scr[:].reshape(1, CH)
+            valid = (kpos + ofs) < chi
+            row = (e >> 7) - base_row
+            R = ((rows == row) & valid).astype(jnp.bfloat16)
+            LT = (rows == (e & 127)).astype(jnp.bfloat16)
+            hist[:] = hist[:] + jax.lax.dot_general(
+                R, LT,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return _
+
+        nsteps = pl.cdiv(chi - clo, CH)
+        jax.lax.fori_loop(0, nsteps, body, None)
+        out_ref[:] = counts_ref[:] + hist[:].astype(counts_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sorted stream (HBM)
+            pl.BlockSpec(
+                (128, 128), lambda c, lo, hi: (c, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (128, 128), lambda c, lo, hi: (c, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CH,), jnp.int32),
+            pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks * 128, 128), counts.dtype),
+    )(lo, hi, s_pad, counts2d)
+    return out.reshape(-1)[:n]
+
+
 @functools.lru_cache(maxsize=1)
 def pick_scatter_impl(n_slots_hint: int = 1 << 20, stream_hint: int = 1 << 22):
     """Race Pallas vs XLA scatter on this hardware; return (name, fn)."""
@@ -103,22 +214,24 @@ def pick_scatter_impl(n_slots_hint: int = 1 << 20, stream_hint: int = 1 << 22):
 
     candidates = {}
     xla = jax.jit(xla_scatter_add)
-    xla(counts, idx).block_until_ready()
+    expected = np.asarray(xla(counts, idx))
     t0 = time.time()
-    xla(counts, idx).block_until_ready()
+    np.asarray(xla(counts, idx))  # host readback forces real completion
     candidates["xla"] = (time.time() - t0, xla)
 
-    try:
-        pk = jax.jit(coverage_scatter_add)
-        r = pk(counts, idx)
-        ok = np.array_equal(np.asarray(r), np.asarray(xla(counts, idx)))
-        if ok:
-            r.block_until_ready()
+    for name, fn in (
+        ("pallas-sorted", sorted_coverage_scatter_add),
+        ("pallas-onehot", coverage_scatter_add),
+    ):
+        try:
+            jfn = jax.jit(fn)
+            if not np.array_equal(np.asarray(jfn(counts, idx)), expected):
+                continue
             t0 = time.time()
-            pk(counts, idx).block_until_ready()
-            candidates["pallas"] = (time.time() - t0, pk)
-    except Exception:
-        pass
+            np.asarray(jfn(counts, idx))
+            candidates[name] = (time.time() - t0, jfn)
+        except Exception:
+            pass
 
     name = min(candidates, key=lambda k: candidates[k][0])
     return name, candidates[name][1]

@@ -92,9 +92,23 @@ def gen_inputs(wd: Path, mbp=None, n_var=None, n_genes=None, n_samples=None,
                 tid = f"T{ci}_{gi}_{t}"
                 if t == 1:
                     ex = exons
-                else:  # skip a distinct internal exon per isoform
-                    skip = 1 + (t - 2) % max(n_exons - 2, 1)
-                    ex = exons[:skip] + exons[skip + 1 :]
+                else:  # event-diverse isoforms: ES / A3 / A5 / IR rotation
+                    k = 1 + (t - 2) % max(n_exons - 2, 1)
+                    kind = (t - 2) % 4
+                    if kind == 0:  # exon skipping
+                        ex = exons[:k] + exons[k + 1 :]
+                    elif kind == 1:  # alternative acceptor (start shifted)
+                        s0, e0 = exons[k]
+                        ex = exons[:k] + [(s0 + 60, e0)] + exons[k + 1 :]
+                    elif kind == 2:  # alternative donor (end shifted)
+                        s0, e0 = exons[k]
+                        ex = exons[:k] + [(s0, e0 - 60)] + exons[k + 1 :]
+                    else:  # intron retention: merge exon k with k+1
+                        ex = (
+                            exons[:k]
+                            + [(exons[k][0], exons[k + 1][1])]
+                            + exons[k + 2 :]
+                        )
                 gtf.write(
                     "\t".join(
                         [chrom, "s", "transcript", str(ex[0][0]), str(ex[-1][1]),

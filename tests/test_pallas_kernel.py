@@ -28,6 +28,30 @@ def test_pallas_scatter_matches_bincount_interpret():
     assert np.array_equal(got, expect)
 
 
+def test_sorted_kernel_matches_bincount_interpret():
+    """Sorted-run coalescing kernel (sort + windowed MXU histogram): exact
+    vs bincount on mixed sizes, padding and pre-loaded counts included."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pantas_tpu.coverage.pallas_kernel import sorted_coverage_scatter_add
+
+    rng = np.random.default_rng(7)
+    for n, m in [(5000, 4096), (40000, 8192), (1 << 17, 1 << 14)]:
+        idx_np = rng.integers(-1, n, size=m, dtype=np.int32)
+        counts = jnp.asarray(rng.integers(0, 5, size=n, dtype=np.int32))
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                out = sorted_coverage_scatter_add(counts, jnp.asarray(idx_np))
+            got = np.asarray(out)
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"pallas interpret mode unavailable: {e}")
+        valid = idx_np[idx_np >= 0]
+        expect = np.asarray(counts) + np.bincount(valid, minlength=n).astype(
+            np.int32
+        )
+        assert np.array_equal(got, expect), (n, m)
+
+
 def test_xla_scatter_ignores_padding():
     from pantas_tpu.coverage.pallas_kernel import xla_scatter_add
 
