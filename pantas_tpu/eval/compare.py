@@ -76,12 +76,18 @@ def parse_quant_remap(path: str) -> List[CalledEvent]:
             dpsi = float(cols[19])
         except ValueError:
             dpsi = None
+        # coverage-cut statistic: the EVENT junction's coverage, min across
+        # the conditions where the event was quantified — the reference
+        # comparator's min_event_cov (eparser.py:267-279). Our quant W
+        # format is "canonic/event" per condition ('.' when one-sided);
+        # taking the min over all numeric Ws instead would let the
+        # always-zero absent side veto every cut >= 1.
         ws = []
         for w in (cols[15], cols[16]):
             if "/" in w:
                 try:
-                    ws.extend(float(x) for x in w.split("/"))
-                except ValueError:
+                    ws.append(float(w.split("/")[1]))
+                except (ValueError, IndexError):
                     pass
         out.append(
             CalledEvent(

@@ -225,6 +225,36 @@ def _tr_pos(exons: Sequence[Tuple[int, int]], strand: str, g: int) -> int:
     return 0
 
 
+def write_variants_gtf(
+    events: Sequence["SimEvent"], gtf_path: str, out_path: str
+) -> None:
+    """Variant-inclusive annotation (ASimulatoR's ``splicing_variants.gtf``).
+
+    The reference's sim experiment runs in two modes
+    (exps/1-dm-sim/workflow/rules/pantas.smk:16-19): "anno" builds the
+    graph from the annotation WITH the event isoforms (every simulated
+    event is then an annotated event with graph support at its splice
+    sites) and "novel" from the annotation without them. This writes the
+    anno-mode GTF: the original annotation plus one transcript per event
+    isoform.
+    """
+    with open(out_path, "w") as out:
+        with open(gtf_path) as fh:
+            out.write(fh.read())
+        for ev in events:
+            tid = f"{ev.gene}_{ev.etype.lower()}"
+            exons = sorted(ev.event_exons)
+            attrs = f'gene_id "{ev.gene}"; transcript_id "{tid}";'
+            out.write(
+                f"{ev.chrom}\tsim\ttranscript\t{exons[0][0]}\t{exons[-1][1]}"
+                f"\t.\t{ev.strand}\t.\t{attrs}\n"
+            )
+            for s, e in exons:
+                out.write(
+                    f"{ev.chrom}\tsim\texon\t{s}\t{e}\t.\t{ev.strand}\t.\t{attrs}\n"
+                )
+
+
 def write_asim_artifacts(events: Sequence["SimEvent"], out_prefix: str) -> None:
     """ASimulatoR-compatible truth-channel artifacts for sim_truth/simrc.
 
@@ -283,12 +313,17 @@ def simulate(
     error_rate: float = 0.001,
     seed: int = 7,
     etypes: Sequence[str] = ("ES", "IR", "A3", "A5"),
+    replicates: int = 1,
     log=sys.stderr,
 ) -> List[SimEvent]:
     """Write {prefix}_c{1,2}_{1,2}.fq + {prefix}_truth.csv; return events.
 
     Condition 1 reads come from base isoforms only; condition 2 reads are a
-    50/50 mix of base + event isoform (ΔPSI signal ≈ 0.5).
+    50/50 mix of base + event isoform (ΔPSI signal ≈ 0.5). With
+    ``replicates`` > 1 every condition gets that many independent read
+    samples over the same events/truth, named
+    ``{prefix}_c{c}_r{r}_{mate}.fq`` (the reference workflow's per-sample
+    fastq layout, exps/1-dm-sim/workflow/rules/simulation.smk).
     """
     ref_by_chrom = read_fasta(fa_path)
     models = parse_transcript_models(gtf_path)
@@ -313,7 +348,8 @@ def simulate(
         used_genes.add(tr.gene)
         events.append(ev)
 
-    fqs = {("c1", 1): [], ("c1", 2): [], ("c2", 1): [], ("c2", 2): []}
+    reps = range(1, max(replicates, 1) + 1)
+    fqs = {(c, r, m): [] for c in ("c1", "c2") for r in reps for m in (1, 2)}
     counter = [0]
     # reads_per_isoform is interpreted as target DEPTH: pair counts scale
     # with template length so junction coverage is length-independent
@@ -327,36 +363,40 @@ def simulate(
         # key on these suffixes
         template_name = f"{ev.gene}_template"
         variant_name = f"{ev.gene}_{ev.etype.lower()}"
-        _sample_pairs(
-            template_name, ev.base_seq, n_pairs(ev.base_seq, reads_per_isoform),
-            rng, read_len, frag_len, error_rate,
-            fqs[("c1", 1)], fqs[("c1", 2)], counter,
-        )
-        _sample_pairs(
-            template_name, ev.base_seq,
-            n_pairs(ev.base_seq, reads_per_isoform / 2),
-            rng, read_len, frag_len, error_rate,
-            fqs[("c2", 1)], fqs[("c2", 2)], counter,
-        )
-        _sample_pairs(
-            variant_name, ev.event_seq,
-            n_pairs(ev.event_seq, reads_per_isoform / 2),
-            rng, read_len, frag_len, error_rate,
-            fqs[("c2", 1)], fqs[("c2", 2)], counter,
-        )
+        for r in reps:
+            _sample_pairs(
+                template_name, ev.base_seq,
+                n_pairs(ev.base_seq, reads_per_isoform),
+                rng, read_len, frag_len, error_rate,
+                fqs[("c1", r, 1)], fqs[("c1", r, 2)], counter,
+            )
+            _sample_pairs(
+                template_name, ev.base_seq,
+                n_pairs(ev.base_seq, reads_per_isoform / 2),
+                rng, read_len, frag_len, error_rate,
+                fqs[("c2", r, 1)], fqs[("c2", r, 2)], counter,
+            )
+            _sample_pairs(
+                variant_name, ev.event_seq,
+                n_pairs(ev.event_seq, reads_per_isoform / 2),
+                rng, read_len, frag_len, error_rate,
+                fqs[("c2", r, 1)], fqs[("c2", r, 2)], counter,
+            )
 
     paths = {}
-    for (cond, mate), recs in fqs.items():
-        p = f"{out_prefix}_{cond}_{mate}.fq"
+    for (cond, r, mate), recs in fqs.items():
+        tag = f"{cond}_r{r}" if replicates > 1 else cond
+        p = f"{out_prefix}_{tag}_{mate}.fq"
         with open(p, "w") as fh:
             fh.write("\n".join(recs) + ("\n" if recs else ""))
-        paths[(cond, mate)] = p
+        paths[(cond, r, mate)] = p
     truth_path = f"{out_prefix}_truth.csv"
     with open(truth_path, "w") as fh:
         fh.write(TRUTH_HEADER + "\n")
         for ev in events:
             fh.write(ev.truth_row() + "\n")
     write_asim_artifacts(events, out_prefix)
+    write_variants_gtf(events, gtf_path, f"{out_prefix}_variants.gtf")
     print(
         f"[simulate] {len(events)} events, {counter[0]} read pairs -> {out_prefix}_*",
         file=log,

@@ -6,22 +6,36 @@ The native equivalent of the reference's ``exps/1-dm-sim`` workflow
 
 1. build the held-out sample's SNP consensus genome (its haplotype is what
    reads will be simulated from — the graph must NOT contain it);
-2. simulate two conditions of AS-event reads on the consensus
-   (ES/IR/A3/A5/CE, ΔPSI ≈ 0.5 signal) + both truth channels;
+2. simulate N replicates x two conditions of AS-event reads on the
+   consensus (ES/IR/A3/A5/CE, ΔPSI ≈ 0.5 signal) + both truth channels;
 3. run the full pipeline via the experiment driver with the sample's
-   genotypes EXCLUDED from the graph build;
+   genotypes EXCLUDED from the graph build, once per w;
 4. score P/R/F1 against the truth at coverage cuts {1,3,5,10,20}.
 
-Usage: python scripts/run_sim_experiment.py [workdir] [sample] [n_events]
-Writes the accuracy table to stdout (markdown) and scores under workdir.
+Two genome modes:
+
+* panel (default) — the reference's own ``example/4`` inputs;
+* genome-scale — ``mbp > 0``: a multi-chromosome synthetic genome from the
+  stress generators (the reference simulates genome-wide over 7 Drosophila
+  chromosomes, ``exps/1-dm-sim/workflow/Snakefile:19-20``), e.g.
+
+    python scripts/run_sim_experiment.py .bench/simg s19 125 30 25 2
+
+  = 25 Mbp genome, 125 events (25/type), depth 30, 2 replicates,
+  w ∈ {3, 5}. Scores land in ``workdir/scores_w{W}.csv``.
+
+Usage: run_sim_experiment.py [workdir] [sample] [n_events] [depth] [mbp] [replicates]
 """
 
 import json
+import os
+import shutil
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
 
 EXAMPLE = Path("/root/reference/example")
 
@@ -29,10 +43,37 @@ WD = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / ".bench" / "simexp"
 SAMPLE = sys.argv[2] if len(sys.argv) > 2 else "DGRP-021"
 N_EVENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 DEPTH = int(sys.argv[4]) if len(sys.argv) > 4 else 30
+MBP = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+REPLICATES = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+WS = [3] if MBP == 0 else [3, 5]
+
+
+def log(msg):
+    print(f"[simexp] {msg}", file=sys.stderr, flush=True)
+
+
+def ensure_genome():
+    """Return (fa, gtf, vcf) — example/4 or a generated synthetic genome."""
+    if MBP == 0:
+        return EXAMPLE / "4.fa", EXAMPLE / "4.gtf", EXAMPLE / "4.vcf.gz"
+    gdir = WD / "genome"
+    fa, gtf, vcf = gdir / "g.fa", gdir / "g.gtf", gdir / "g.vcf"
+    if not fa.exists():
+        import stress_build
+
+        gdir.mkdir(parents=True, exist_ok=True)
+        n_chroms = max(1, int(MBP // 12))
+        log(f"generating {MBP} Mbp synthetic genome ({n_chroms} chroms)..")
+        stress_build.gen_inputs(
+            gdir, mbp=MBP, n_var=int(MBP * 10_000), n_genes=int(MBP * 40),
+            n_samples=20, n_chroms=n_chroms, n_exons=8, n_tx=2,
+        )
+    return fa, gtf, vcf
 
 
 def main():
     WD.mkdir(parents=True, exist_ok=True)
+    fa, gtf, vcf = ensure_genome()
 
     # 1. held-out sample consensus (SNPs, hap 1)
     from pantas_tpu.io.fasta import read_fasta
@@ -40,14 +81,14 @@ def main():
 
     cons_fa = WD / "consensus.fa"
     if not cons_fa.exists():
-        ref = read_fasta(str(EXAMPLE / "4.fa"))
-        cons = consensus_snps(ref, str(EXAMPLE / "4.vcf.gz"), SAMPLE, hap=1)
+        ref = read_fasta(str(fa))
+        cons = consensus_snps(ref, str(vcf), SAMPLE, hap=1)
         with open(cons_fa, "w") as fh:
             for chrom, seq in cons.items():
                 fh.write(f">{chrom}\n")
                 for i in range(0, len(seq), 80):
                     fh.write(seq[i : i + 80] + "\n")
-        print(f"[simexp] consensus of {SAMPLE} hap1 -> {cons_fa}", file=sys.stderr)
+        log(f"consensus of {SAMPLE} hap1 -> {cons_fa}")
 
     # 2. simulate on the consensus
     from pantas_tpu.eval.simulate import simulate
@@ -55,53 +96,97 @@ def main():
     prefix = WD / "sim"
     if not (WD / "sim_truth.csv").exists():
         simulate(
-            str(cons_fa), str(EXAMPLE / "4.gtf"), str(prefix),
+            str(cons_fa), str(gtf), str(prefix),
             n_events=N_EVENTS, reads_per_isoform=DEPTH,
             etypes=("ES", "IR", "A3", "A5", "CE"),
+            replicates=REPLICATES,
         )
 
-    # 3+4. experiment driver with the sample excluded from the build
-    cfg = {
-        "fa": str(EXAMPLE / "4.fa"),
-        "gtf": str(EXAMPLE / "4.gtf"),
-        "vcf": str(EXAMPLE / "4.vcf.gz"),
-        "workdir": str(WD / "run"),
-        "build": {"hp": 0, "exclude_sample": SAMPLE},
-        "conditions": {
-            "c1": [[f"{prefix}_c1_1.fq", f"{prefix}_c1_2.fq"]],
-            "c2": [[f"{prefix}_c2_1.fq", f"{prefix}_c2_2.fq"]],
-        },
-        "call": {"w": 3, "novel": True, "minintronsize": 20},
-        "quant": {"all": True},
-        "remap": {"min_intron_size": 20},
-        "eval": {
-            "truth": f"{prefix}_truth.csv",
-            "min_dpsi": 0.05,
-            "relax": 5,
-            "cuts": [1, 3, 5, 10, 20],
-        },
-        "threads": 2,
-    }
-    cfg_path = WD / "exp.json"
-    cfg_path.write_text(json.dumps(cfg, indent=2))
+    def rep_fqs(cond):
+        if REPLICATES == 1:
+            return [[f"{prefix}_{cond}_1.fq", f"{prefix}_{cond}_2.fq"]]
+        return [
+            [f"{prefix}_{cond}_r{r}_1.fq", f"{prefix}_{cond}_r{r}_2.fq"]
+            for r in range(1, REPLICATES + 1)
+        ]
 
+    # 3+4. experiment driver per (mode, w), with the sample excluded from
+    # the build. Two modes, mirroring the reference workflow's annov axis
+    # (exps/1-dm-sim/workflow/rules/pantas.smk:16-19):
+    #   anno  — graph built from the variant-INCLUSIVE annotation
+    #           (splicing_variants.gtf): every simulated event is an
+    #           annotated event with graph support at its splice sites;
+    #   novel — graph built without the event isoforms; events must be
+    #           recovered by the novel-calling pass (-n).
+    # Within a mode, w > first reuses the first run's build + GAFs
+    # (hardlinked) — only call/quant/remap re-run.
     from pantas_tpu.experiment import run_experiment
 
-    result = run_experiment(str(cfg_path))
+    first_run = None
+    for mode in ("anno", "novel"):
+        mode_gtf = f"{prefix}_variants.gtf" if mode == "anno" else str(gtf)
+        mode_first = None
+        for w in WS:
+            run_wd = WD / f"run_{mode}_w{w}"
+            legacy = WD / f"run_w{w}"
+            if mode == "novel" and legacy.exists() and not run_wd.exists():
+                run_wd = legacy  # pre-anno-mode layout
+            if mode_first is not None and not run_wd.exists():
+                run_wd.mkdir()
+                for name in os.listdir(mode_first):
+                    if name.endswith(".gaf") or name == "pantranscriptome-annotated.gfa":
+                        os.link(mode_first / name, run_wd / name)
+            cfg = {
+                "fa": str(fa),
+                "gtf": mode_gtf,
+                "vcf": str(vcf),
+                "workdir": str(run_wd),
+                "build": {"hp": 0, "exclude_sample": SAMPLE},
+                "conditions": {"c1": rep_fqs("c1"), "c2": rep_fqs("c2")},
+                "call": {"w": w, "novel": mode == "novel", "minintronsize": 20},
+                "quant": {"all": True},
+                "remap": {"min_intron_size": 20},
+                "eval": {
+                    "truth": f"{prefix}_truth.csv",
+                    "min_dpsi": 0.05,
+                    "relax": 5,
+                    "cuts": [1, 3, 5, 10, 20],
+                },
+                "threads": 2,
+            }
+            cfg_path = WD / f"exp_{mode}_w{w}.json"
+            cfg_path.write_text(json.dumps(cfg, indent=2))
+            result = run_experiment(str(cfg_path))
+            if mode_first is None:
+                mode_first = run_wd
+            if first_run is None:
+                first_run = run_wd
 
-    # markdown accuracy table
-    rows = [l.strip("\n").split(",") for l in open(result["scores_by_cut_csv"])][1:]
-    print(f"\n### Sim accuracy (held-out sample {SAMPLE}, {N_EVENTS} events)\n")
-    print("| cut | etype | TP | FP | FN | precision | recall | F1 |")
-    print("|---|---|---|---|---|---|---|---|")
-    for cut, etype, tp, fp, fn, p, r, f1 in rows:
-        if etype in ("ES", "CE", "IR", "A3", "A5", "ALL"):
-            print(f"| {cut} | {etype} | {tp} | {fp} | {fn} | {p} | {r} | {f1} |")
+            shutil.copy(result["scores_by_cut_csv"], WD / f"scores_{mode}_w{w}.csv")
+            rows = [
+                l.strip("\n").split(",")
+                for l in open(result["scores_by_cut_csv"])
+            ][1:]
+            print(
+                f"\n### Sim accuracy ({mode} mode, held-out {SAMPLE}, "
+                f"{N_EVENTS} events, {REPLICATES} reps, w={w}"
+                + (f", {MBP:g} Mbp synthetic genome" if MBP else ", example/4 panel")
+                + ")\n"
+            )
+            print("| cut | etype | TP | FP | FN | precision | recall | F1 |")
+            print("|---|---|---|---|---|---|---|---|")
+            for cut, etype, tp, fp, fn, p, r, f1 in rows:
+                if etype in ("ES", "CE", "IR", "A3", "A5", "ALL"):
+                    print(f"| {cut} | {etype} | {tp} | {fp} | {fn} | {p} | {r} | {f1} |")
 
-    score_novel_sites(WD, prefix)
+    # novel-sites scoring runs on the NOVEL-mode graph (the anno graph has
+    # the sites as real node boundaries — nothing intra-node left to find)
+    score_novel_sites(WD, prefix, run_dir=first_run and (WD / f"run_novel_w{WS[0]}"
+                      if (WD / f"run_novel_w{WS[0]}").exists()
+                      else WD / f"run_w{WS[0]}"))
 
 
-def score_novel_sites(wd, prefix, tol=3):
+def score_novel_sites(wd, prefix, tol=3, run_dir=None):
     """Intra-node splice-site recovery (the ``novel-sites`` extension).
 
     Truth = every novel-junction endpoint the simulated A3/A5/CE events
@@ -113,6 +198,8 @@ def score_novel_sites(wd, prefix, tol=3):
     import csv
 
     from pantas_tpu.events.sites import detect_novel_sites
+
+    run_dir = Path(run_dir) if run_dir else wd / "run"
 
     truth = []
     for row in csv.DictReader(open(f"{prefix}_truth.csv")):
@@ -132,9 +219,9 @@ def score_novel_sites(wd, prefix, tol=3):
     if not truth:
         return
 
-    gfa = wd / "run" / "pantranscriptome-annotated.gfa"
+    gfa = run_dir / "pantranscriptome-annotated.gfa"
     det = []
-    for gaf in sorted((wd / "run").glob("c*_r*.gaf")):
+    for gaf in sorted(run_dir.glob("c*_r*.gaf")):
         for r in detect_novel_sites(str(gaf), str(gfa), w=3):
             f = r.split(",")
             if f[1].isdigit():
@@ -168,13 +255,14 @@ def score_novel_sites(wd, prefix, tol=3):
         pos = (min(c1s, c2s) - 1) if c1s != c2s else (max(c1e, c2e) + 1)
         etruth[(et, row["gene"])] = pos
 
-    import json as _json
-
+    gtf = None
+    for cfg_name in ("exp_w3.json", "exp.json"):
+        if (wd / cfg_name).exists():
+            gtf = json.loads((wd / cfg_name).read_text())["gtf"]
+            break
     events = []
-    cfg_path = wd / "exp.json"
-    gtf = _json.loads(cfg_path.read_text())["gtf"] if cfg_path.exists() else None
     if gtf:
-        for gaf in sorted((wd / "run").glob("c*_r*.gaf")):
+        for gaf in sorted(run_dir.glob("c*_r*.gaf")):
             rows = detect_novel_sites(str(gaf), str(gfa), w=3)
             events += [e.split(",") for e in classify_sites(rows, gtf)]
         ehits = sum(

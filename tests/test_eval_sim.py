@@ -81,3 +81,44 @@ def test_sim_no_false_positives_at_dpsi_cut(sim_scores):
     _, results = sim_scores
     assert results["ALL"]["fp"] == 0
     assert results["ALL"]["recall"] >= 0.5
+
+
+def test_coverage_cut_uses_event_junction_only(tmp_path):
+    """The coverage-cut statistic is the EVENT junction's coverage, min
+    across quantified conditions (reference eparser.py:267-279) — NOT the
+    min over every W value, where the absent side's 0 would veto any cut."""
+    from pantas_tpu.eval.compare import parse_quant_remap
+
+    csv = tmp_path / "qr.csv"
+    csv.write_text(
+        "etype,header\n"
+        + "ES," + ",".join("x" * 1 for _ in range(14))
+        + ",0/35,19/26,0.0,0.5,0.5\n"  # canonic 0 in c1: event covs 35, 26
+        + "IR," + ",".join("x" * 1 for _ in range(14))
+        + ",.,12/7,1,0.4,0.6\n"  # one-sided: only c2 counts
+    )
+    rows = parse_quant_remap(str(csv))
+    assert rows[0].w_min == 26.0
+    assert rows[1].w_min == 7.0
+
+
+def test_variants_gtf_round_trips_through_parser(tmp_path):
+    """write_variants_gtf output must parse and map variant tids to genes."""
+    from pantas_tpu.eval.simulate import SimEvent, write_variants_gtf
+    from pantas_tpu.io.gtf import parse_transcript_maps
+
+    base = tmp_path / "g.gtf"
+    base.write_text(
+        'c\ts\ttranscript\t1\t900\t.\t+\t.\tgene_id "G"; transcript_id "T1";\n'
+        'c\ts\texon\t1\t200\t.\t+\t.\tgene_id "G"; transcript_id "T1";\n'
+        'c\ts\texon\t701\t900\t.\t+\t.\tgene_id "G"; transcript_id "T1";\n'
+    )
+    ev = SimEvent(
+        etype="CE", gene="G", tid="T1", chrom="c", strand="+",
+        regions=[], event_exons=[(1, 200), (401, 500), (701, 900)],
+    )
+    out = tmp_path / "variants.gtf"
+    write_variants_gtf([ev], str(base), str(out))
+    t2g, genestrand, genechr = parse_transcript_maps(str(out))
+    assert t2g["G_ce"] == "G" and t2g["T1"] == "G"
+    assert genestrand["G"] == "+"
