@@ -710,8 +710,9 @@ def _cmd_novel_sites(argv):
         "cannot call (no edge can exist mid-node; its IL/OL histograms skip "
         "first/last-node offsets). EXTENSION: no reference counterpart.",
     )
-    ap.add_argument("GAF")
-    ap.add_argument("GFA", help="annotated (optionally augmented) GFA")
+    ap.add_argument("GAF", nargs="?", default=None)
+    ap.add_argument("GFA", nargs="?", default=None,
+                    help="annotated (optionally augmented) GFA")
     ap.add_argument("-w", dest="w", type=int, default=3, help="min pile-up count (default 3)")
     ap.add_argument("-c", dest="min_clip", type=int, default=5,
                     help="min clipped query bases at the boundary (default 5)")
@@ -722,13 +723,37 @@ def _cmd_novel_sites(argv):
     ap.add_argument("--events", dest="gtf", default=None, metavar="GTF",
                     help="classify sites into A3/A5 event rows (gene/strand "
                     "from the node's exon labels + this GTF)")
+    ap.add_argument("--quant", action="store_true",
+                    help="quantified two-condition mode: merge donor/acceptor "
+                    "pile-ups into intron events with a PSI analogue "
+                    "(needs --c1/--c2/--gfa and --events GTF)")
+    ap.add_argument("--c1", nargs="+", default=None, metavar="GAF",
+                    help="condition-1 replicate GAFs (--quant)")
+    ap.add_argument("--c2", nargs="+", default=None, metavar="GAF",
+                    help="condition-2 replicate GAFs (--quant)")
+    ap.add_argument("--gfa", default=None, help="graph for --quant mode")
     args = ap.parse_args(argv)
     from pantas_tpu.events.sites import (
         EVENTS_HEADER,
+        QUANT_HEADER,
         classify_sites,
         detect_novel_sites,
+        quantify_sites,
         write_novel_sites,
     )
+
+    if args.quant:
+        if not (args.c1 and args.c2 and args.gfa and args.gtf):
+            ap.error("--quant needs --c1, --c2, --gfa and --events GTF")
+        print(QUANT_HEADER)
+        for r in quantify_sites(
+            args.c1, args.c2, args.gfa, args.gtf,
+            w=args.w, min_clip=args.min_clip, mapq_thr=args.mapq,
+        ):
+            print(r)
+        return 0
+    if not (args.GAF and args.GFA):
+        ap.error("GAF and GFA are required (unless --quant)")
 
     rows = detect_novel_sites(
         args.GAF, args.GFA, w=args.w, min_clip=args.min_clip,

@@ -221,13 +221,7 @@ def detect_novel_sites(
     ``host`` forces Python; ``native`` requires the native path.
     """
     meta = load_graph_meta(gfa_path)
-    piles = None
-    if engine in ("auto", "native"):
-        piles = _scan_native(gaf_path, meta, min_clip, mapq_thr, max_dv)
-        if piles is None and engine == "native":
-            raise RuntimeError("native clip-site scanner unavailable")
-    if piles is None:
-        piles = _scan_python(gaf_path, meta, min_clip, mapq_thr, max_dv)
+    piles = _scan(gaf_path, meta, min_clip, mapq_thr, max_dv, engine)
 
     rows: List[str] = []
     for (side, node, off), (count, clipmax) in piles.items():
@@ -259,6 +253,17 @@ def write_novel_sites(rows: Iterable[str], out: TextIO = sys.stdout) -> None:
     print(HEADER, file=out)
     for r in rows:
         print(r, file=out)
+
+
+def _scan(gaf_path, meta, min_clip, mapq_thr, max_dv, engine="auto"):
+    piles = None
+    if engine in ("auto", "native"):
+        piles = _scan_native(gaf_path, meta, min_clip, mapq_thr, max_dv)
+        if piles is None and engine == "native":
+            raise RuntimeError("native clip-site scanner unavailable")
+    if piles is None:
+        piles = _scan_python(gaf_path, meta, min_clip, mapq_thr, max_dv)
+    return piles
 
 
 EVENTS_HEADER = "event_type,annotated/novel,chrom,gene,strand,position,side,node,offset,coverage"
@@ -302,3 +307,242 @@ def classify_sites(rows: Iterable[str], gtf_path: str) -> List[str]:
             f"{etype},novel,{chrom},{gene},{strand},{pos},{side},{node},{off},{count}"
         )
     return out
+
+
+# --- end-to-end quantification of clip sites (novel-sites --quant) ---------
+
+QUANT_HEADER = (
+    "etype,annotation_type,chrom,gene,strand,donor_pos,acceptor_pos,"
+    "W1,W2,psi_c1,psi_c2,dpsi"
+)
+
+
+def _gene_of(meta: Dict[str, NodeMeta], node: str, t2g, genestrand):
+    m = meta.get(node)
+    if m is None or m.exons == ".":
+        return None, None
+    for label in m.exons.split(","):
+        t = label.rsplit(".", 1)[0].rsplit("_", 1)[0]
+        if t in t2g:
+            g = t2g[t]
+            return g, genestrand.get(g)
+    return None, None
+
+
+def _condition_piles(gafs, meta, min_clip, mapq_thr, max_dv, engine):
+    """Sum clip pile-ups and node coverage (NC) over a condition's GAFs."""
+    piles: Dict[Tuple[str, str, int], List[int]] = {}
+    nc: Dict[str, int] = {}
+    for gaf in gafs:
+        for k, (cnt, clipmax) in _scan(
+            str(gaf), meta, min_clip, mapq_thr, max_dv, engine
+        ).items():
+            cur = piles.setdefault(k, [0, 0])
+            cur[0] += cnt
+            cur[1] = max(cur[1], clipmax)
+        for node, cov in _node_coverage(str(gaf), meta, mapq_thr, max_dv).items():
+            nc[node] = nc.get(node, 0) + cov
+    return piles, nc
+
+
+def _node_coverage(gaf_path, meta, mapq_thr, max_dv) -> Dict[str, int]:
+    """Per-node read counts for a GAF — the inclusion-side denominator.
+
+    Cheap streaming count (every walked node +1 per accepted record), the
+    NC semantics of the augment stage at node granularity.
+    """
+    out: Dict[str, int] = {}
+    with open(gaf_path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = parse_gaf_line(line)
+            if rec.mapq < mapq_thr or rec.path == "*":
+                continue
+            if rec.dv is not None and rec.dv > max_dv:
+                continue
+            rev = rec.path[0] == "<"
+            last = None
+            for step in rec.path.split("<" if rev else ">")[1:]:
+                if step != last and step in meta:
+                    out[step] = out.get(step, 0) + 1
+                last = step
+    return out
+
+
+def quantify_sites(
+    c1_gafs: List[str],
+    c2_gafs: List[str],
+    gfa_path: str,
+    gtf_path: str,
+    w: int = 3,
+    min_clip: int = 5,
+    mapq_thr: int = DEFAULT_MAPQ_THR,
+    max_dv: float = DEFAULT_MAX_DIVERGENCE,
+    max_intron: int = 10_000,
+    min_intron: int = 20,
+    canonical_tol: int = 6,
+    engine: str = "auto",
+) -> List[str]:
+    """Quantified intra-node novel splice events (PSI analogue), CSV rows.
+
+    The detector's clip pile-ups become quantified events:
+
+    * **donor/acceptor merging** — an intron invisible to the graph leaves
+      an ``end`` pile-up at its donor and a ``start`` pile-up at its
+      acceptor; same-gene (end, start) pairs within ``max_intron`` merge
+      into ONE intron candidate whose evidence is the SUM of both ends, so
+      two half-strength pile-ups (each < w) still surface when their
+      combined support passes ``w``. Unpaired sites stay single-terminus
+      events.
+    * **PSI analogue** — per condition, inclusion = reads walking the
+      node(s) (NC semantics), event = clip evidence;
+      ``psi = inclusion / (inclusion + clip)`` with the quant stage's -1
+      sentinel for zero coverage and ``dpsi = max(0,psi1) - max(0,psi2)``
+      (reference quantify.py:15-24,317-319 conventions).
+
+    * **annotated-boundary filtering** — termini that coincide (±3) with
+      an annotated exon end ('end' sites) / exon start ('start' sites) are
+      canonical: events whose every terminus is canonical are clip shadows
+      of ANNOTATED junctions and are dropped; for merged pairs the novel
+      (non-canonical) terminus determines the event type.
+
+    Event typing is strand-aware like :func:`classify_sites` (the novel
+    terminus's side: acceptor on '+' = A3, ...); merged introns report both
+    genomic termini.
+    """
+    from pantas_tpu.io.gtf import parse_transcript_maps, parse_transcript_models
+
+    meta = load_graph_meta(gfa_path)
+    t2g, genestrand, _ = parse_transcript_maps(gtf_path)
+
+    # annotated exon boundaries per chrom (donor = exon end, acceptor =
+    # exon start): clip termini within +-3 of one are canonical
+    exon_ends: Dict[str, set] = {}
+    exon_starts: Dict[str, set] = {}
+    for tr in parse_transcript_models(gtf_path).values():
+        for s0, e0 in tr.exons:
+            exon_starts.setdefault(tr.chrom, set()).add(s0)
+            exon_ends.setdefault(tr.chrom, set()).add(e0)
+
+    def canonical(chrom: str, side: str, pos: int, tol: int = canonical_tol) -> bool:
+        # near ANY annotated exon boundary: junction clip shadows pile up
+        # on both sides of a splice site, so a start-side pile at an exon
+        # END is just as canonical as one at an exon start
+        return any(
+            pos + d in anno
+            for anno in (exon_ends.get(chrom, ()), exon_starts.get(chrom, ()))
+            for d in range(-tol, tol + 1)
+        )
+    p1, nc1 = _condition_piles(c1_gafs, meta, min_clip, mapq_thr, max_dv, engine)
+    p2, nc2 = _condition_piles(c2_gafs, meta, min_clip, mapq_thr, max_dv, engine)
+
+    # candidate sites = union of both conditions' pile keys, interior only
+    sites = []
+    for key in set(p1) | set(p2):
+        side, node, off = key
+        m = meta.get(node)
+        if m is None:
+            continue
+        if side == "start" and off == 0:
+            continue
+        if side == "end" and off == m.length - 1:
+            continue
+        gene, strand = _gene_of(meta, node, t2g, genestrand)
+        if m.gchrom is None or gene is None or strand not in ("+", "-"):
+            continue
+        sites.append({
+            "side": side,
+            "node": node,
+            "gene": gene,
+            "strand": strand,
+            "chrom": m.gchrom,
+            "pos": m.gstart + off,
+            "clip1": p1.get(key, [0, 0])[0],
+            "clip2": p2.get(key, [0, 0])[0],
+        })
+
+    # donor/acceptor merging: pair each 'end' (donor side, genomic-left
+    # terminus) with the nearest downstream same-gene 'start'
+    by_gene: Dict[str, List[dict]] = {}
+    for s in sites:
+        by_gene.setdefault(s["gene"], []).append(s)
+    events = []
+    for gene, ss in by_gene.items():
+        ends = sorted((s for s in ss if s["side"] == "end"), key=lambda s: s["pos"])
+        starts = sorted(
+            (s for s in ss if s["side"] == "start"), key=lambda s: s["pos"]
+        )
+        used = set()
+        for e in ends:
+            mate = None
+            e_w = e["clip1"] + e["clip2"]
+            for s in starts:
+                if id(s) in used:
+                    continue
+                if not (e["pos"] + min_intron <= s["pos"] <= e["pos"] + max_intron):
+                    continue
+                # only merge comparable evidence: pairing a strong pile-up
+                # with a 1-read noise site dilutes the real signal's PSI
+                s_w = s["clip1"] + s["clip2"]
+                if min(e_w, s_w) < 2 or min(e_w, s_w) * 4 < max(e_w, s_w):
+                    continue
+                mate = s
+                break
+            if mate is not None:
+                used.add(id(mate))
+                events.append((e, mate))
+            else:
+                events.append((e, None))
+        events.extend((None, s) for s in starts if id(s) not in used)
+
+    rows = []
+    for e, s in events:
+        clip1 = (e["clip1"] if e else 0) + (s["clip1"] if s else 0)
+        clip2 = (e["clip2"] if e else 0) + (s["clip2"] if s else 0)
+        if max(clip1, clip2) < w:
+            continue
+        anchor = s if s is not None else e
+        strand = anchor["strand"]
+        # novel terminus = the one NOT at an annotated exon boundary; an
+        # event with only canonical termini is an annotated junction's clip
+        # shadow (reads soft-clipped instead of spliced) — drop it
+        e_canon = e is None or canonical(e["chrom"], "end", e["pos"])
+        s_canon = s is None or canonical(s["chrom"], "start", s["pos"])
+        if e_canon and s_canon:
+            continue
+        if not s_canon and e_canon:
+            novel_side = "start"
+        elif not e_canon and s_canon:
+            novel_side = "end"
+        elif e is not None and s is not None:
+            # both termini novel: the stronger pile-up carries the signal
+            e_w = e["clip1"] + e["clip2"]
+            s_w = s["clip1"] + s["clip2"]
+            novel_side = "end" if e_w > s_w else "start"
+        else:
+            novel_side = "start" if s is not None else "end"
+        # a start (acceptor-like) site is the intron's genomic-right
+        # terminus — A3 on '+', A5 on '-'
+        etype = "A3" if (novel_side == "start") == (strand == "+") else "A5"
+        nodes = {x["node"] for x in (e, s) if x}
+        incl1 = sum(nc1.get(n, 0) for n in nodes)
+        incl2 = sum(nc2.get(n, 0) for n in nodes)
+
+        def psi(incl, clip):
+            return incl / (incl + clip) if incl + clip > 0 else -1
+
+        psi1, psi2 = psi(incl1, clip1), psi(incl2, clip2)
+        dpsi = -1 if psi1 == -1 and psi2 == -1 else max(0, psi1) - max(0, psi2)
+        rows.append(
+            f"{etype},novel,{anchor['chrom']},{anchor['gene']},{strand},"
+            f"{e['pos'] if e else '?'},{s['pos'] if s else '?'},"
+            f"{incl1}/{clip1},{incl2}/{clip2},{psi1},{psi2},{dpsi}"
+        )
+
+    def key(r: str):
+        f = r.split(",")
+        return (f[2], f[3], f[5], f[6])
+
+    rows.sort(key=key)
+    return rows

@@ -256,7 +256,7 @@ def score_novel_sites(wd, prefix, tol=3, run_dir=None):
         etruth[(et, row["gene"])] = pos
 
     gtf = None
-    for cfg_name in ("exp_w3.json", "exp.json"):
+    for cfg_name in ("exp_novel_w3.json", "exp_w3.json", "exp.json"):
         if (wd / cfg_name).exists():
             gtf = json.loads((wd / cfg_name).read_text())["gtf"]
             break
@@ -272,6 +272,45 @@ def score_novel_sites(wd, prefix, tol=3, run_dir=None):
         )
         print(f"event-level A3/A5 (novel-sites --events): recall "
               f"{ehits}/{len(etruth)} = {ehits / (len(etruth) or 1):.2f}")
+
+    # quantified events (novel-sites --quant): donor/acceptor merging +
+    # PSI analogue, scored at |dpsi| >= 0.05 like the main comparator
+    if gtf:
+        from pantas_tpu.events.sites import quantify_sites
+
+        c1 = sorted(str(p) for p in run_dir.glob("c1_r*.gaf"))
+        c2 = sorted(str(p) for p in run_dir.glob("c2_r*.gaf"))
+        if c1 and c2:
+            rows = [r.split(",") for r in quantify_sites(c1, c2, str(gfa), gtf)]
+            kept = [r for r in rows if abs(float(r[11])) >= 0.05]
+            qhits = matched = 0
+            for (et, gene), pos in etruth.items():
+                if any(
+                    r[0] == et and r[3] == gene
+                    and any(
+                        t.isdigit() and abs(int(t) - pos) <= tol
+                        for t in (r[5], r[6])
+                    )
+                    for r in kept
+                ):
+                    qhits += 1
+            for r in kept:
+                if any(
+                    r[0] == et and r[3] == gene
+                    and any(
+                        t.isdigit() and abs(int(t) - pos) <= tol
+                        for t in (r[5], r[6])
+                    )
+                    for (et, gene), pos in etruth.items()
+                ):
+                    matched += 1
+            nk = len(kept) or 1
+            print(
+                f"quantified events (novel-sites --quant, |dpsi|>=0.05): "
+                f"recall {qhits}/{len(etruth)} = "
+                f"{qhits / (len(etruth) or 1):.2f} | precision "
+                f"{matched}/{len(kept)} = {matched / nk:.2f}"
+            )
 
 
 if __name__ == "__main__":

@@ -222,3 +222,61 @@ def test_native_scanner_matches_python(tmp_path):
         engine="native",
     )
     assert native == host
+
+
+def test_quantify_sites_psi_and_merging(tmp_path):
+    """novel-sites --quant core: two conditions, clip evidence only in c2
+    -> one typed event row with inclusion/clip PSI analogue and dpsi."""
+    from pantas_tpu.events.sites import quantify_sites
+
+    gaf1, gfa = _fixture(tmp_path)  # reuse graph; c1 = clean coverage only
+    c1 = tmp_path / "c1.gaf"
+    c1.write_text(
+        "\n".join(_gaf(f"p{i}", 100, 0, 100, ">1>2>3", 30, 0, 30) for i in range(10))
+        + "\n"
+    )
+    # c2: clean coverage + a 4-read clip pile at node 2 offset 4 (pos 15)
+    c2 = tmp_path / "c2.gaf"
+    c2.write_text(
+        "\n".join(_gaf(f"q{i}", 100, 0, 100, ">1>2>3", 30, 0, 30) for i in range(6))
+        + "\n"
+        + "\n".join(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 4, 20) for i in range(4))
+        + "\n"
+    )
+    gtf = tmp_path / "a.gtf"
+    gtf.write_text(GTF)
+    rows = quantify_sites(
+        [str(c1)], [str(c2)], str(tmp_path / "g.gfa"), str(gtf),
+        w=3, canonical_tol=1,
+    )
+    assert len(rows) == 1, rows
+    f = rows[0].split(",")
+    # start site on a '-' gene: the acceptor-like terminus is the donor -> A5
+    assert f[0] == "A5" and f[3] == "G1" and f[6] == "15"
+    # c1: inclusion 10, clip 0 -> psi 1; c2: inclusion 10, clip 4
+    assert f[7] == "10/0" and f[8] == "10/4"
+    assert float(f[9]) == 1.0 and abs(float(f[10]) - 10 / 14) < 1e-9
+    assert abs(float(f[11]) - (1 - 10 / 14)) < 1e-9
+
+
+def test_quantify_sites_drops_annotated_shadows(tmp_path):
+    """Clip piles at annotated exon boundaries are junction shadows and
+    must not surface as events."""
+    from pantas_tpu.events.sites import quantify_sites
+
+    _, gfa = _fixture(tmp_path)
+    c1 = tmp_path / "c1.gaf"
+    c1.write_text(_gaf("p0", 100, 0, 100, ">1>2>3", 30, 0, 30) + "\n")
+    # pile exactly at the exon start boundary (node 2 offset 0 = pos 11)
+    c2 = tmp_path / "c2.gaf"
+    c2.write_text(
+        "\n".join(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 1, 20) for i in range(5))
+        + "\n"
+    )
+    gtf = tmp_path / "a.gtf"
+    gtf.write_text(GTF)
+    rows = quantify_sites(
+        [str(c1)], [str(c2)], str(tmp_path / "g.gfa"), str(gtf),
+        w=3, canonical_tol=1,
+    )
+    assert rows == [], rows
