@@ -314,3 +314,117 @@ def test_tag_vocabulary_and_monotonicity():
         assert nums[0] == 1
         assert all(b - a in (0, 1) for a, b in zip(nums, nums[1:]))
         assert nums[-1] == len(copy.exon_breaks)
+
+
+# ---------------------------------------------------------------------------
+# O7: restore-compatible pruning — the annotate.cpp:258-297 analogue.
+#
+# The reference prunes complex regions (``vg prune --restore-paths``,
+# build.smk:165-178) and annotate re-emits every path over the pruned graph
+# from the GBWT when the graph arrives pathless (annotate.cpp:258-297).
+# Hand-derived expectation for O3's fixture plus a second SNP A>G at pos 17
+# (exon 2) that NO sample carries: the alt node exists unpruned (vg
+# construct --alt-paths adds all alleles) but is unthreaded, so pruning
+# drops exactly that node and its two edges while EVERY P line — reference
+# chromosome, reference-projected transcript, haplotype copy — re-emits
+# byte-identically.
+# ---------------------------------------------------------------------------
+
+
+def test_prune_drops_unthreaded_alt_and_reemits_paths():
+    from pantas_tpu.build.pipeline import prune_keep_nodes
+
+    t = Transcript("Ttest", "G1", "c", "+", list(EXONS))
+    carried = _var(5, "A", ["T"], [(1, 0)])
+    uncarried = _var(17, "A", ["G"], [(0, 0)])
+    graph, ptx, ann, full = _build([t], [carried, uncarried], ["s1"])
+
+    # hand-derived node map: cuts {2,8,14,22} + {4,5} + {16,17} =>
+    # 9 = the pos-17 alt node "G" (after ref node 8=[17,17]"A")
+    assert graph.seq(8) == "A" and graph.seq(9) == "G"
+    assert "S\t9\tG\n" in full  # unpruned graph carries the alt
+
+    keep = prune_keep_nodes(graph, ptx)
+    assert 9 not in keep  # the one unthreaded node
+    assert keep == set(range(1, graph.n_nodes() + 1)) - {9}
+
+    out = io.StringIO()
+    write_annotated_gfa(ptx, ann, out, keep_nodes=keep)
+    pruned = out.getvalue()
+    assert "S\t9\tG\n" not in pruned
+    assert "L\t7\t+\t9\t+" not in pruned and "L\t9\t+\t10\t+" not in pruned
+    # every path re-emitted byte-identically over the pruned graph
+    full_paths = [l for l in full.splitlines() if l[0] == "P"]
+    pruned_paths = [l for l in pruned.splitlines() if l[0] == "P"]
+    assert pruned_paths == full_paths == [
+        "P\tc\t1+,2+,3+,5+,6+,7+,8+,10+,11+\t*",
+        "P\tTtest_R1\t2+,3+,5+,7+,8+,10+\t*",
+        "P\tTtest_H1\t2+,4+,5+,7+,8+,10+\t*",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# O8: W-line (GFA 1.1 walk) emission + downstream-ignore contract.
+#
+# Hand-derived for O3's fixture: the haplotype copy Ttest_H1 (source s1#1,
+# path 2,4,5,7, lengths 2+1+3+8) becomes
+#   W  s1  1  Ttest_H1  0  14  >2>4>5>7
+# while reference-projected paths stay P lines. Downstream stages dispatch
+# on the first byte (S/L/P) exactly like the reference scripts, so augment
+# must emit identical coverage tags for both representations and call must
+# produce identical rows.
+# ---------------------------------------------------------------------------
+
+
+def test_w_line_walks_golden_and_downstream_ignore(tmp_path):
+    t = Transcript("Ttest", "G1", "c", "+", list(EXONS))
+    v = _var(5, "A", ["T"], [(1, 0)])
+    accepted, _ = accept_variants([v], REF, log=io.StringIO())
+    bounds = list(EXONS)
+    graph = construct(
+        "c", REF, accepted, bounds, max_node_len=32,
+        log=io.StringIO(), prefiltered=True,
+    )
+    ptx = project(graph, [t], accepted, ["s1"], log=io.StringIO())
+    ann = annotate(ptx, log=io.StringIO())
+    p_out, w_out = io.StringIO(), io.StringIO()
+    write_annotated_gfa(ptx, ann, p_out)
+    write_annotated_gfa(ptx, ann, w_out, w_lines=True)
+    w_text = w_out.getvalue()
+    assert "W\ts1\t1\tTtest_H1\t0\t14\t>2>4>5>7\n" in w_text
+    assert "P\tTtest_H1" not in w_text
+    assert "P\tTtest_R1\t2+,3+,5+,7+\t*\n" in w_text  # ref copy stays P
+
+    p_gfa, w_gfa = tmp_path / "p.gfa", tmp_path / "w.gfa"
+    p_gfa.write_text(p_out.getvalue())
+    w_gfa.write_text(w_text)
+    gaf = tmp_path / "r.gaf"
+    gaf.write_text(
+        "r0\t14\t0\t14\t+\t>2>4>5>7\t14\t0\t14\t14\t14\t60\tcs:Z::14\n"
+        "r1\t10\t0\t10\t+\t>2>3>5>7\t14\t1\t11\t10\t10\t60\tcs:Z::10\n"
+    )
+    from pantas_tpu.coverage import augment_gfa
+
+    def run(gfa_path):
+        buf = io.StringIO()
+        augment_gfa(str(gaf), str(gfa_path), out=buf, log=io.StringIO())
+        return buf.getvalue()
+
+    aug_p, aug_w = run(p_gfa), run(w_gfa)
+    strip = lambda text: [l for l in text.splitlines() if l[:1] not in ("P", "W")]
+    assert strip(aug_p) == strip(aug_w)  # identical S/L tag emission
+
+    gtf = tmp_path / "t.gtf"
+    gtf.write_text(
+        'c\tx\ttranscript\t3\t22\t.\t+\t.\tgene_id "G1"; transcript_id "Ttest";\n'
+        'c\tx\texon\t3\t8\t.\t+\t.\tgene_id "G1"; transcript_id "Ttest";\n'
+        'c\tx\texon\t15\t22\t.\t+\t.\tgene_id "G1"; transcript_id "Ttest";\n'
+    )
+    ap, aw = tmp_path / "ap.gfa", tmp_path / "aw.gfa"
+    ap.write_text(aug_p)
+    aw.write_text(aug_w)
+    from pantas_tpu.events import CallOptions, call_events
+
+    rows_p = sorted(call_events(str(ap), str(gtf), CallOptions(rca=0)))
+    rows_w = sorted(call_events(str(aw), str(gtf), CallOptions(rca=0)))
+    assert rows_p == rows_w
