@@ -119,7 +119,8 @@ def test_e2e_call_quant_remap_identical(example_pipeline, reference_scripts):
     # reference README's anchor for its vg-built graph is 205 events; our
     # independently built graph must land in the same regime
     assert 150 <= n_events <= 260, n_events
-    # exact regression anchor for OUR deterministic build+mapper (218 at
-    # rca=0, driver-captured in BENCH_r02) — a change here means the
+    # exact regression anchor for OUR deterministic build+mapper pipeline
+    # (210 quant-remap rows at rca=0; the call stage emits 218 rows, some
+    # of which quant/remap legitimately drop) — a change here means the
     # build/mapper/caller changed behavior, not just the range
-    assert n_events == 218, n_events
+    assert n_events == 210, n_events
