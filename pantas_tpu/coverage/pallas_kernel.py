@@ -131,7 +131,7 @@ def sorted_coverage_scatter_add(
 
     s = jnp.sort(idx)
     s_pad = jnp.concatenate(
-        [s, jnp.full((CH,), jnp.int32(2**30), dtype=s.dtype)]
+        [s, jnp.full((2 * CH,), jnp.int32(2**30), dtype=s.dtype)]
     )
     bounds = jnp.searchsorted(
         s, jnp.arange(0, padded + 1, win, dtype=jnp.int32), side="left"
@@ -144,6 +144,10 @@ def sorted_coverage_scatter_add(
         c = pl.program_id(0)
         clo = lo_ref[c]
         chi = hi_ref[c]
+        # Mosaic requires DMA slice starts provably divisible by the 1-D
+        # tiling (1024): chunks start at CH-aligned offsets and positions
+        # below clo mask out (they belong to the previous window)
+        clo_al = pl.multiple_of((clo // CH) * CH, CH)
         base_row = c * (W_TILES * 8)
         hist[:] = jnp.zeros_like(hist)
 
@@ -151,14 +155,15 @@ def sorted_coverage_scatter_add(
         kpos = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
 
         def body(k, _):
-            ofs = clo + k * CH
+            ofs = pl.multiple_of(clo_al + k * CH, CH)
             dma = pltpu.make_async_copy(
                 s_ref.at[pl.ds(ofs, CH)], e_scr, sem
             )
             dma.start()
             dma.wait()
             e = e_scr[:].reshape(1, CH)
-            valid = (kpos + ofs) < chi
+            pos = kpos + ofs
+            valid = (pos >= clo) & (pos < chi)
             row = (e >> 7) - base_row
             R = ((rows == row) & valid).astype(jnp.bfloat16)
             LT = (rows == (e & 127)).astype(jnp.bfloat16)
@@ -169,7 +174,7 @@ def sorted_coverage_scatter_add(
             )
             return _
 
-        nsteps = pl.cdiv(chi - clo, CH)
+        nsteps = pl.cdiv(chi - clo_al, CH)
         jax.lax.fori_loop(0, nsteps, body, None)
         out_ref[:] = counts_ref[:] + hist[:].astype(counts_ref.dtype)
 
