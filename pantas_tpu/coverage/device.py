@@ -120,7 +120,20 @@ class DeviceCoverage:
             self._step = data_parallel_scatter_add(mesh)
         else:
             self.n_shards = 1
-            self._step = jax.jit(scatter_add_counts)
+            if os.environ.get("PANTAS_SCATTER", "").lower() in ("race", "auto"):
+                # race XLA scatter vs the Pallas kernels on this hardware
+                # once per process and use the winner (on TPU v5e the
+                # sorted-run Pallas kernel wins at >=4M-index batches —
+                # docs/PERFORMANCE.md). Off by default: the race costs a
+                # one-time ~20-30 s of remote kernel compiles, which only
+                # amortizes on production-size streams.
+                from pantas_tpu.coverage.pallas_kernel import pick_scatter_impl
+
+                name, fn = pick_scatter_impl()
+                print(f"[device] scatter impl: {name}", file=sys.stderr)
+                self._step = fn
+            else:
+                self._step = jax.jit(scatter_add_counts)
         self.counts = jnp.zeros((self._padded_slots,), dtype=jnp.int32)
 
     def add_slots(self, slots: np.ndarray, pad_to: Optional[int] = None) -> None:

@@ -206,35 +206,51 @@ def sorted_coverage_scatter_add(
 
 @functools.lru_cache(maxsize=1)
 def pick_scatter_impl(n_slots_hint: int = 1 << 20, stream_hint: int = 1 << 22):
-    """Race Pallas vs XLA scatter on this hardware; return (name, fn)."""
+    """Race Pallas vs XLA scatter on this hardware; return (name, fn).
+
+    Timing forces completion with a tiny host readback (the axon tunnel's
+    `block_until_ready` does not sync, and a full-counts readback runs at
+    ~14 KB/s there); correctness is a 4096-slot probe + total-sum check
+    against a host bincount.
+    """
     import time
 
     import numpy as np
 
     rng = np.random.default_rng(0)
     counts = jnp.zeros((n_slots_hint,), dtype=jnp.int32)
-    idx = jnp.asarray(
-        rng.integers(0, n_slots_hint, size=stream_hint, dtype=np.int32)
-    )
+    idx_np = rng.integers(0, n_slots_hint, size=stream_hint, dtype=np.int32)
+    idx = jnp.asarray(idx_np)
+    expect = np.bincount(idx_np, minlength=n_slots_hint).astype(np.int32)
+    probes_np = rng.integers(0, n_slots_hint, size=4096)
+    probes = jnp.asarray(probes_np.astype(np.int32))
+    expect_probe = expect[probes_np]
+    expect_sum = int(expect.sum())
+
+    def verify(jfn) -> bool:
+        r = jfn(counts, idx)
+        got_probe = np.asarray(r[probes])
+        got_sum = int(jnp.sum(r))  # = stream size, well inside int32
+        return got_sum == expect_sum and np.array_equal(got_probe, expect_probe)
 
     candidates = {}
-    xla = jax.jit(xla_scatter_add)
-    expected = np.asarray(xla(counts, idx))
-    t0 = time.time()
-    np.asarray(xla(counts, idx))  # host readback forces real completion
-    candidates["xla"] = (time.time() - t0, xla)
-
     for name, fn in (
+        ("xla", xla_scatter_add),
         ("pallas-sorted", sorted_coverage_scatter_add),
         ("pallas-onehot", coverage_scatter_add),
     ):
         try:
             jfn = jax.jit(fn)
-            if not np.array_equal(np.asarray(jfn(counts, idx)), expected):
+            if not verify(jfn):
                 continue
-            t0 = time.time()
-            np.asarray(jfn(counts, idx))
-            candidates[name] = (time.time() - t0, jfn)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                r = jfn(counts, idx)
+                _ = np.asarray(r[:8])  # force completion
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            candidates[name] = (best, jfn)
         except Exception:
             pass
 
