@@ -158,55 +158,45 @@ def bench_call(gfa):
 def bench_device(gfa, big, n_reads):
     """Secondary metric (stderr): the device path — native parse feeding
     the device scatter-add engine, end-to-end stage time. Measured on the
-    session backend (remote TPU here: per-batch tunnel dispatch dominates)
-    AND on the host CPU backend in a subprocess (the latency-free shape of
-    the same code path; on production TPU hosts the chip is PCIe-attached,
-    not an HTTP tunnel)."""
-    import io
+    session backend (remote TPU here: per-batch tunnel dispatch dominates,
+    and the tunnel can hang outright — hence a time-limited subprocess)
+    AND on the host CPU backend (the latency-free shape of the same code
+    path; on production TPU hosts the chip is PCIe-attached, not an HTTP
+    tunnel)."""
 
-    from pantas_tpu.coverage.device import augment_gfa_device_native
-
-    best = None
-    for i in range(2):
-        t0 = time.time()
-        with open(os.devnull, "w") as devnull:
-            augment_gfa_device_native(str(big), str(gfa), out=devnull, log=io.StringIO())
-        dt = time.time() - t0
-        log(f"device run {i}: {n_reads} reads in {dt:.2f}s = {n_reads / dt:.0f} reads/s")
-        best = dt if best is None else min(best, dt)
-    import jax
-
-    log(
-        f"device path (native parse -> {jax.devices()[0].platform} scatter-add): "
-        f"{n_reads / best:.0f} reads/s"
-    )
-    code = (
-        "import io,os,sys,time,jax\n"
-        "jax.config.update('jax_platforms','cpu')\n"
-        f"sys.path.insert(0, {str(REPO)!r})\n"
-        "from pantas_tpu.coverage.device import augment_gfa_device_native\n"
-        "best=None\n"
-        "for _ in range(2):\n"
-        "    t0=time.time()\n"
-        f"    augment_gfa_device_native({str(big)!r}, {str(gfa)!r}, "
-        "out=open(os.devnull,'w'), log=io.StringIO())\n"
-        "    dt=time.time()-t0\n"
-        "    best=dt if best is None else min(best,dt)\n"
-        "print(f'{best:.3f}')\n"
-    )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=600, check=True,
+    def run_backend(platform_label, force_cpu):
+        code = (
+            "import io,os,sys,time,jax\n"
+            + ("jax.config.update('jax_platforms','cpu')\n" if force_cpu else "")
+            + f"sys.path.insert(0, {str(REPO)!r})\n"
+            "from pantas_tpu.coverage.device import augment_gfa_device_native\n"
+            "best=None\n"
+            "for _ in range(2):\n"
+            "    t0=time.time()\n"
+            f"    augment_gfa_device_native({str(big)!r}, {str(gfa)!r}, "
+            "out=open(os.devnull,'w'), log=io.StringIO())\n"
+            "    dt=time.time()-t0\n"
+            "    best=dt if best is None else min(best,dt)\n"
+            "print(f'{best:.3f}')\n"
         )
-        cpu_best = float(proc.stdout.strip().splitlines()[-1])
-        log(
-            f"device path (native parse -> cpu-backend scatter-add): "
-            f"{n_reads / cpu_best:.0f} reads/s"
-        )
-    except Exception as e:
-        log(f"cpu-backend device run skipped: {e}")
-    return n_reads / best
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=600, check=True,
+            )
+            best = float(proc.stdout.strip().splitlines()[-1])
+            log(
+                f"device path (native parse -> {platform_label} scatter-add): "
+                f"{n_reads / best:.0f} reads/s"
+            )
+            return n_reads / best
+        except Exception as e:
+            log(f"{platform_label} device run skipped: {type(e).__name__}")
+            return None
+
+    session = run_backend("session-backend", force_cpu=False)
+    cpu = run_backend("cpu-backend", force_cpu=True)
+    return session or cpu
 
 
 def main():
