@@ -118,6 +118,12 @@ class DeviceCoverage:
         elif mesh is not None:
             self.n_shards = mesh.devices.size
             self._step = data_parallel_scatter_add(mesh)
+        if mesh is not None:
+            # per-device PRIVATE partials (data rows); the one reduction
+            # the math needs happens once in result()
+            self.counts = jnp.zeros(
+                (self.n_shards, self._padded_slots), dtype=jnp.int32
+            )
         else:
             self.n_shards = 1
             if os.environ.get("PANTAS_SCATTER", "").lower() in ("race", "auto"):
@@ -134,7 +140,7 @@ class DeviceCoverage:
                 self._step = fn
             else:
                 self._step = jax.jit(scatter_add_counts)
-        self.counts = jnp.zeros((self._padded_slots,), dtype=jnp.int32)
+            self.counts = jnp.zeros((self._padded_slots,), dtype=jnp.int32)
 
     def add_slots(self, slots: np.ndarray, pad_to: Optional[int] = None) -> None:
         """Accumulate a slot batch; pad to a fixed length to avoid retraces.
@@ -153,6 +159,13 @@ class DeviceCoverage:
         self.counts = self._step(self.counts, self._jnp.asarray(slots))
 
     def result(self) -> np.ndarray:
+        if self.mesh is not None:
+            from pantas_tpu.parallel.mesh import reduce_data_parts
+
+            import jax
+
+            merged = jax.jit(reduce_data_parts)(self.counts)
+            return np.asarray(merged)[: self.t.total_slots]
         return np.asarray(self.counts)[: self.t.total_slots]
 
 

@@ -64,23 +64,33 @@ def scatter_add_counts(counts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def data_parallel_scatter_add(mesh: Mesh):
     """Build the sharded coverage accumulator for a mesh.
 
-    Returns a jitted fn ``(counts, idx) -> counts`` where ``idx`` is sharded
-    over the data axis (each chip scatter-adds its shard privately) and the
-    per-chip partial sums merge with one ``psum`` — the ICI-collective
-    equivalent of the reference's per-replicate process merge.
+    Returns a jitted fn ``(parts, idx) -> parts`` where ``idx`` is sharded
+    over the data axis and ``parts`` is a per-device PRIVATE partial-counts
+    matrix ``(n_data, slots)`` sharded over its leading axis: each chip
+    scatter-adds its stream shard into its own row with ZERO per-batch
+    communication. The single reduction the math needs (integer adds are
+    associative) happens once at stream end in :func:`reduce_data_parts` —
+    the ICI-collective equivalent of the reference's per-replicate process
+    merge, paid once instead of per batch.
     """
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=P(),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
     )
-    def _dp(counts, idx_shard):
-        local = scatter_add_counts(jnp.zeros_like(counts), idx_shard)
-        return counts + jax.lax.psum(local, DATA_AXIS)
+    def _dp(parts, idx_shard):
+        return scatter_add_counts(parts.reshape(-1), idx_shard).reshape(
+            parts.shape
+        )
 
     return jax.jit(_dp)
+
+
+def reduce_data_parts(parts):
+    """The one end-of-stream reduction: sum partials over the data axis."""
+    return jnp.sum(parts, axis=0)
 
 
 NODE_AXIS = "node"
@@ -103,12 +113,13 @@ def coverage_mesh_2d(devices, data: int, node: int) -> Mesh:
 def node_sharded_scatter_add(mesh: Mesh, total_slots: int):
     """Coverage step over a 2-D (data × node) mesh.
 
-    ``counts`` is sharded over the node axis; the slot-index stream is
-    sharded over the data axis and replicated over node. Each device
-    scatter-adds only the indices that fall inside its node-shard range
-    (others mask to zero) and partial sums merge with a psum over the data
-    axis only — no cross-node-shard traffic, because ownership is by slot
-    range.
+    Partial counts are sharded over BOTH axes: shape ``(n_data, padded)``
+    with rows on the data axis and each row's slot range on the node axis.
+    Every device owns the ``(data row, node range)`` tile it accumulates
+    into: it scatter-adds only the stream indices that fall inside its
+    node-shard range (others mask to zero) with ZERO per-batch
+    communication — ownership is by slot range, and the one data-axis
+    reduction happens at stream end (:func:`reduce_data_parts`).
     """
     n_node = mesh.shape[NODE_AXIS]
     shard = -(-total_slots // n_node)  # ceil; counts padded to shard * n_node
@@ -116,17 +127,19 @@ def node_sharded_scatter_add(mesh: Mesh, total_slots: int):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(NODE_AXIS), P(DATA_AXIS)),
-        out_specs=P(NODE_AXIS),
+        in_specs=(P(DATA_AXIS, NODE_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS, NODE_AXIS),
     )
-    def _step(counts_shard, idx_shard):
+    def _step(counts_tile, idx_shard):
         my_node = jax.lax.axis_index(NODE_AXIS)
         base = my_node * shard
         local = idx_shard - base
         ok = (idx_shard >= 0) & (local >= 0) & (local < shard)
         safe = jnp.where(ok, local, 0)
-        acc = jnp.zeros_like(counts_shard).at[safe].add(ok.astype(counts_shard.dtype))
-        return counts_shard + jax.lax.psum(acc, DATA_AXIS)
+        flat = counts_tile.reshape(-1)
+        return flat.at[safe].add(ok.astype(flat.dtype)).reshape(
+            counts_tile.shape
+        )
 
     return jax.jit(_step), shard
 

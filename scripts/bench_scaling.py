@@ -58,9 +58,12 @@ def main():
     while d <= len(devices):
         mesh = coverage_mesh(devices[:d])
         step = data_parallel_scatter_add(mesh)
-        counts = jnp.zeros((n_slots,), dtype=jnp.int32)
+        counts = jnp.zeros((d, n_slots), dtype=jnp.int32)  # private partials
         idx = jnp.asarray(idx_np)  # STREAM % d == 0 for powers of two
-        out = step(counts, idx)
+        from pantas_tpu.parallel.mesh import reduce_data_parts
+
+        reduce = jax.jit(reduce_data_parts)
+        out = reduce(step(counts, idx))
         out.block_until_ready()
         assert np.array_equal(np.asarray(out), expect), f"mismatch at d={d}"
         ts = []

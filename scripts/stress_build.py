@@ -195,7 +195,7 @@ def main():
     step, shard = node_sharded_scatter_add(mesh, tensors.total_slots)
     import jax.numpy as jnp
 
-    counts = jnp.zeros((shard * 4,), dtype=jnp.int32)
+    counts = jnp.zeros((2, shard * 4), dtype=jnp.int32)  # private partials
     rng = np.random.default_rng(0)
     idx = jnp.asarray(pad_to_multiple(
         rng.integers(0, tensors.total_slots, size=1 << 22, dtype=np.int32), 2
