@@ -171,6 +171,33 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
                 os.replace(sites_csv + ".tmp", sites_csv)
                 _log(f"{tag}: novel-sites -> {sites_csv}", log)
 
+        if ns_opts.get("quant"):
+            # quantified two-condition events (donor/acceptor merging +
+            # PSI analogue) across all replicate GAFs
+            from pantas_tpu.events.sites import QUANT_HEADER, quantify_sites
+
+            sq_csv = os.path.join(wd, "sites_quant.csv")
+            if not os.path.exists(sq_csv):
+                conds_ = list(cfg["conditions"])
+                gafs = {
+                    c: [
+                        os.path.join(wd, f"{c}_r{ri}.gaf")
+                        for ri in range(1, len(cfg["conditions"][c]) + 1)
+                    ]
+                    for c in conds_
+                }
+                rows = quantify_sites(
+                    gafs[conds_[0]], gafs[conds_[1]], gfa, gtf,
+                    w=int(ns_opts.get("w", 3)),
+                    min_clip=int(ns_opts.get("min_clip", 5)),
+                )
+                with open(sq_csv + ".tmp", "w") as out:
+                    print(QUANT_HEADER, file=out)
+                    for r in rows:
+                        print(r, file=out)
+                os.replace(sq_csv + ".tmp", sq_csv)
+                _log(f"novel-sites quant -> {sq_csv}", log)
+
     conds = list(cfg["conditions"])
     assert len(conds) == 2, "exactly two conditions required"
 
