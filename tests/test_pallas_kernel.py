@@ -59,3 +59,17 @@ def test_xla_scatter_ignores_padding():
     idx = jnp.asarray(np.array([3, -1, 3, 0, -1], dtype=np.int32))
     out = np.asarray(jax.jit(xla_scatter_add)(counts, idx))
     assert out[3] == 2 and out[0] == 1 and out.sum() == 3
+
+
+def test_pick_scatter_impl_returns_working_fn():
+    """On any backend the race must return a correct, usable step fn
+    (CPU: the Pallas TPU kernels fail fast and XLA wins by default)."""
+    from pantas_tpu.coverage.pallas_kernel import pick_scatter_impl
+
+    name, fn = pick_scatter_impl(1 << 12, 1 << 14)
+    assert name in ("xla", "pallas-sorted", "pallas-onehot")
+    rng = np.random.default_rng(3)
+    idx_np = rng.integers(-1, 1 << 12, size=1 << 14, dtype=np.int32)
+    out = np.asarray(fn(jnp.zeros((1 << 12,), jnp.int32), jnp.asarray(idx_np)))
+    expect = np.bincount(idx_np[idx_np >= 0], minlength=1 << 12).astype(np.int32)
+    assert np.array_equal(out, expect)
