@@ -196,6 +196,10 @@ def _cmd_parse_res(argv):
     ap.add_argument("--whippet", required=True, help="Whippet .diff")
     ap.add_argument("--min-dpsi", type=float, default=0.0)
     ap.add_argument("--relax", type=int, default=4)
+    ap.add_argument(
+        "--figures", action="store_true",
+        help="also render the parse_res.py figure suite (corr/venn PNGs)",
+    )
     args = ap.parse_args(argv)
     import os
 
@@ -228,7 +232,54 @@ def _cmd_parse_res(argv):
     )
     with open(os.path.join(args.outdir, "venn_counts.csv"), "w") as out:
         venn_counts(cols, rows, out)
+    if args.figures:
+        from pantas_tpu.eval.plots import render_res_figures
+
+        written = render_res_figures(
+            os.path.join(args.outdir, "res.csv"),
+            os.path.join(args.outdir, "res_mask.csv"),
+            args.outdir,
+            list(pantas.keys()),
+        )
+        print(f"[parse-res] {len(written)} figures rendered", file=sys.stderr)
     print(f"[parse-res] {len(rows)} events -> {args.outdir}", file=sys.stderr)
+    return 0
+
+
+def _cmd_plot_pr(argv):
+    ap = argparse.ArgumentParser(
+        prog="pantas-tpu plot-pr",
+        description="Truth-support table + 2x2 P/R panel from compare CSVs "
+        "(plot_pr.py equivalent)",
+    )
+    ap.add_argument("csv", help="concatenated compare CSV (cmp output)")
+    ap.add_argument("-o", dest="out_png", default=None,
+                    help="output PNG (default: <csv>.png)")
+    ap.add_argument("--no-figure", action="store_true",
+                    help="print the truth table only")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.plots import render_pr, truth_support_lines
+
+    for line in truth_support_lines(args.csv):
+        print(line)
+    if not args.no_figure:
+        out = render_pr(args.csv, args.out_png)
+        print(f"[plot-pr] wrote {out}", file=sys.stderr)
+    return 0
+
+
+def _cmd_latex_table(argv):
+    ap = argparse.ArgumentParser(
+        prog="pantas-tpu latex-table",
+        description="LaTeX accuracy table from compare CSVs "
+        "(format_latex_table.py equivalent, byte-identical stdout)",
+    )
+    ap.add_argument("csv", help="concatenated compare CSV (cmp output)")
+    args = ap.parse_args(argv)
+    from pantas_tpu.eval.plots import latex_table_lines
+
+    for line in latex_table_lines(args.csv):
+        print(line)
     return 0
 
 
@@ -857,6 +908,8 @@ _COMMANDS = {
     "cmp": _cmd_cmp,
     "compare-rtpcr": _cmd_compare_rtpcr,
     "parse-res": _cmd_parse_res,
+    "plot-pr": _cmd_plot_pr,
+    "latex-table": _cmd_latex_table,
     "filter-reads": _cmd_filter_reads,
     "fix-vidx": _cmd_fix_vidx,
     "clean-gtf": _cmd_clean_gtf,

@@ -1,0 +1,138 @@
+"""Figure layer: truth-support table / LaTeX table byte-identical to the
+reference's plot_pr.py / format_latex_table.py on the same compare CSVs
+(both reference scripts are runnable in this environment), plus the
+parse_res.py figure suite (corr/venn PNGs) and the venn region math."""
+
+import os
+import random
+import subprocess
+import sys
+
+from conftest import REFERENCE
+
+from pantas_tpu.eval.plots import (
+    _venn_regions,
+    latex_table_lines,
+    render_pr,
+    render_res_figures,
+    render_venn,
+    truth_support_lines,
+)
+
+PLOT_PR_REF = REFERENCE / "exps" / "1-dm-sim" / "scripts" / "plot_pr.py"
+LATEX_REF = REFERENCE / "exps" / "1-dm-sim" / "scripts" / "format_latex_table.py"
+
+
+def _write_compare_csv(path):
+    """Concatenated compare CSVs (two -w runs) in the cmp output schema."""
+    lines = ["p-supp,tool,etype,mindpsi,mincov,TP,FN,FP,Prec,Rec,F1,TOT"]
+    tools = ["pantas", "rMATS", "Whippet", "SUPPA2"]
+    etypes = ["ES", "A3", "A5", "IR"]
+    for w in (3, 5):
+        for c in (0, 1, 2, 3, 5):  # 0 and 2 must be skipped by the parser
+            for ti, tool in enumerate(tools):
+                for ei, etype in enumerate(etypes):
+                    tot = 20 - c + ei  # TP+FN consistent across tools/w
+                    tp = max(0, tot - 2 - ti - (0 if w == 3 else 1))
+                    fn = tot - tp
+                    fp = ti + c % 3
+                    p = round(tp / (tp + fp), 3) if tp + fp else 0.0
+                    r = round(tp / tot, 3)
+                    f1 = round(2 * p * r / (p + r), 3) if p + r else 0.0
+                    lines.append(
+                        f"{w if tool == 'pantas' else 0},{tool},{etype},"
+                        f"0.05,{c},{tp},{fn},{fp},{p},{r},{f1},{tot}"
+                    )
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_truth_support_differential(tmp_path):
+    csv = tmp_path / "cmp.csv"
+    _write_compare_csv(csv)
+    env = dict(os.environ, MPLBACKEND="Agg")
+    ref = subprocess.run(
+        [sys.executable, str(PLOT_PR_REF), str(csv)],
+        capture_output=True, text=True, env=env, cwd=tmp_path,
+    )
+    assert ref.returncode == 0, ref.stderr
+    ours = "\n".join(truth_support_lines(str(csv))) + "\n"
+    assert ours == ref.stdout
+    # reference wrote <csv>.png; ours goes to a distinct path
+    ref_png = tmp_path / "cmp.csv.png"
+    assert ref_png.stat().st_size > 10_000
+    out = render_pr(str(csv), str(tmp_path / "ours.png"))
+    assert os.path.getsize(out) > 10_000
+
+
+def test_latex_table_differential(tmp_path):
+    csv = tmp_path / "cmp.csv"
+    _write_compare_csv(csv)
+    ref = subprocess.run(
+        [sys.executable, str(LATEX_REF), str(csv)],
+        capture_output=True, text=True,
+    )
+    assert ref.returncode == 0, ref.stderr
+    ours = "\n".join(latex_table_lines(str(csv))) + "\n"
+    assert ours == ref.stdout
+
+
+def test_venn_regions():
+    r = _venn_regions({"a": {1, 2, 3}, "b": {2, 3, 4}, "c": {3, 4, 5}})
+    assert r[("a",)] == 1          # {1}
+    assert r[("a", "b")] == 1      # {2}
+    assert r[("a", "b", "c")] == 1  # {3}
+    assert r[("b", "c")] == 1      # {4}
+    assert r[("c",)] == 1          # {5}
+    assert r[("a", "c")] == 0
+    # NaN members are dropped (deliberate fix of the reference's raw-set bug)
+    ax = render_venn(
+        {"x": {1, float("nan")}, "y": {1, 2}}, legend_loc=None, grid=60
+    )
+    texts = sorted(t.get_text() for t in ax.texts)
+    assert texts == ["0", "1", "1"]  # x-only=0, x∩y={1}, y-only={2}
+
+
+def _write_res_csvs(tmp_path):
+    random.seed(7)
+    hdr = "type,event,whippet,SUPPA2,rMATS,pantas_3"
+    rows, mrows = [hdr], [hdr]
+    i = 0
+    for e in ["ES", "IR", "A3", "A5"]:
+        for _ in range(6):
+            name = f"{e}_chr4_{1000 + i}_{2000 + i}"
+            i += 1
+            vals = [round(random.uniform(-1, 1), 3) for _ in range(4)]
+            present = [random.random() < 0.8 for _ in range(4)]
+            rows.append(
+                f"{e},{name},"
+                + ",".join(str(v) if p else "" for v, p in zip(vals, present))
+            )
+            mrows.append(
+                f"{e},{name}," + ",".join(name if p else "" for p in present)
+            )
+    (tmp_path / "res.csv").write_text("\n".join(rows) + "\n")
+    (tmp_path / "res_mask.csv").write_text("\n".join(mrows) + "\n")
+
+
+def test_render_res_figures(tmp_path):
+    _write_res_csvs(tmp_path)
+    written = render_res_figures(
+        str(tmp_path / "res.csv"),
+        str(tmp_path / "res_mask.csv"),
+        str(tmp_path / "figs"),
+        ["3"],
+        per_etype=False,
+    )
+    for must in [
+        "full_corr.png",
+        "corr_pantas2_3_rmats.png",
+        "corr_pantas2_3_whippet.png",
+        "corr_pantas2_3_suppa.png",
+        "corr_rmats_whippet.png",
+        "corr_rmats_suppa.png",
+        "corr_whippet_suppa.png",
+        "venn_full_rmats_whippet_suppa_pantas.png",  # singleton-Ws legend venn
+        "venn_full_rmats_whippet_suppa_pantas_3.png",
+    ]:
+        assert must in written, must
+        assert os.path.getsize(tmp_path / "figs" / must) > 5_000, must
