@@ -350,7 +350,10 @@ def _cmd_call(argv):
         debug=args.debug,
     )
     if args.engine == "device":
+        from pantas_tpu.compile_cache import enable_persistent_cache
         from pantas_tpu.events.batched import call_events_device as call_fn
+
+        enable_persistent_cache()
     else:
         call_fn = call_events
     for row in call_fn(args.GFA, args.GTF, opts):

@@ -110,6 +110,12 @@ class DeviceCoverage:
         self.mesh = mesh
         self._jnp = jnp
         self._padded_slots = tensors.total_slots
+        if jax.default_backend() == "tpu":
+            # per-machine, not per-process, compile costs on the slow
+            # remote-compile TPU path (harmless if it fails)
+            from pantas_tpu.compile_cache import enable_persistent_cache
+
+            enable_persistent_cache()
         if mesh is not None and NODE_AXIS in getattr(mesh, "shape", {}):
             n_node = mesh.shape[NODE_AXIS]
             self._step, shard = node_sharded_scatter_add(mesh, tensors.total_slots)
@@ -126,15 +132,24 @@ class DeviceCoverage:
             )
         else:
             self.n_shards = 1
-            if os.environ.get("PANTAS_SCATTER", "").lower() in ("race", "auto"):
-                # race XLA scatter vs the Pallas kernels on this hardware
-                # once per process and use the winner (on TPU v5e the
-                # sorted-run Pallas kernel wins at >=4M-index batches —
-                # docs/PERFORMANCE.md). Off by default: the race costs a
-                # one-time ~20-30 s of remote kernel compiles, which only
-                # amortizes on production-size streams.
+            scatter_env = os.environ.get("PANTAS_SCATTER", "").lower()
+            on_tpu = jax.default_backend() == "tpu"
+            # Race XLA scatter vs the Pallas kernels on this hardware once
+            # per process and use the winner (on TPU v5e the sorted-run
+            # Pallas kernel wins at every measured size —
+            # docs/PERFORMANCE.md). Default ON for TPU backends: the
+            # persistent compilation cache makes the race's one-time kernel
+            # compiles a per-machine cost, not per-process. On CPU the
+            # Pallas candidates fail verification and the race just re-picks
+            # XLA, so default OFF there (skip the pointless warmup);
+            # PANTAS_SCATTER=race forces it, =xla/off disables it.
+            if scatter_env in ("race", "auto") or (
+                scatter_env not in ("xla", "off") and on_tpu
+            ):
+                from pantas_tpu.compile_cache import enable_persistent_cache
                 from pantas_tpu.coverage.pallas_kernel import pick_scatter_impl
 
+                enable_persistent_cache()
                 name, fn = pick_scatter_impl()
                 print(f"[device] scatter impl: {name}", file=sys.stderr)
                 self._step = fn
