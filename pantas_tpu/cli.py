@@ -252,18 +252,47 @@ def _cmd_plot_pr(argv):
         description="Truth-support table + 2x2 P/R panel from compare CSVs "
         "(plot_pr.py equivalent)",
     )
-    ap.add_argument("csv", help="concatenated compare CSV (cmp output)")
+    ap.add_argument("csv", nargs="?", default=None,
+                    help="concatenated compare CSV (cmp output)")
+    ap.add_argument(
+        "--scores", nargs="+", metavar="W=CSV", default=None,
+        help="build the compare CSV from experiment scores_by_cut CSVs "
+        "(one per -w) instead of reading one",
+    )
     ap.add_argument("-o", dest="out_png", default=None,
                     help="output PNG (default: <csv>.png)")
     ap.add_argument("--no-figure", action="store_true",
                     help="print the truth table only")
     args = ap.parse_args(argv)
-    from pantas_tpu.eval.plots import render_pr, truth_support_lines
+    from pantas_tpu.eval.plots import (
+        PR_CSV_HEADER,
+        pr_csv_lines_from_scores,
+        render_pr,
+        truth_support_lines,
+    )
 
-    for line in truth_support_lines(args.csv):
+    csv_path = args.csv
+    if args.scores:
+        import tempfile
+
+        lines = [PR_CSV_HEADER]
+        for spec in args.scores:
+            w, _, path = spec.partition("=")
+            lines.extend(pr_csv_lines_from_scores(path, w))
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".csv", delete=False, prefix="plotpr_"
+        )
+        tmp.write("\n".join(lines) + "\n")
+        tmp.close()
+        csv_path = tmp.name
+        if args.out_png is None and args.csv is None:
+            ap.error("--scores needs -o OUT.png (or a positional csv path)")
+    elif csv_path is None:
+        ap.error("need a compare CSV or --scores")
+    for line in truth_support_lines(csv_path):
         print(line)
     if not args.no_figure:
-        out = render_pr(args.csv, args.out_png)
+        out = render_pr(csv_path, args.out_png)
         print(f"[plot-pr] wrote {out}", file=sys.stderr)
     return 0
 

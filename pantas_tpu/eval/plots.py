@@ -173,6 +173,34 @@ def render_pr(fpath: str, out_png: str | None = None, dpi: int = 300) -> str:
     return out
 
 
+def pr_csv_lines_from_scores(
+    scores_csv: str, w, tool: str = "pantas"
+) -> List[str]:
+    """Convert an experiment ``scores_by_cut.csv`` (schema
+    ``cut,etype,tp,fp,fn,precision,recall,f1`` — ``experiment.py:259``)
+    into compare-CSV rows consumable by :func:`parse_pr_csv` /
+    :func:`latex_table_lines`.  Etypes without a P/R panel slot (CE) are
+    dropped.  No header line is emitted so multiple -w conversions can be
+    concatenated under one header.
+    """
+    import csv as _csv
+
+    lines = []
+    for row in _csv.DictReader(open(scores_csv)):
+        if row["etype"] not in ("ES", "A3", "A5", "IR"):
+            continue
+        tot = int(row["tp"]) + int(row["fn"])
+        lines.append(
+            f"{w},{tool},{row['etype']},0,{row['cut']},{row['tp']},"
+            f"{row['fn']},{row['fp']},{row['precision']},{row['recall']},"
+            f"{row['f1']},{tot}"
+        )
+    return lines
+
+
+PR_CSV_HEADER = "p-supp,tool,etype,mindpsi,mincov,TP,FN,FP,Prec,Rec,F1,TOT"
+
+
 # ---------------------------------------------------------------------------
 # format_latex_table.py equivalent
 # ---------------------------------------------------------------------------

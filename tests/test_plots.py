@@ -114,6 +114,31 @@ def _write_res_csvs(tmp_path):
     (tmp_path / "res_mask.csv").write_text("\n".join(mrows) + "\n")
 
 
+def test_pr_csv_from_scores(tmp_path):
+    from pantas_tpu.eval.plots import PR_CSV_HEADER, pr_csv_lines_from_scores
+
+    scores = tmp_path / "scores_by_cut.csv"
+    scores.write_text(
+        "cut,etype,tp,fp,fn,precision,recall,f1\n"
+        "1,ES,25,0,0,1.000,1.000,1.000\n"
+        "1,CE,25,0,0,1.000,1.000,1.000\n"  # no panel slot -> dropped
+        "3,IR,20,2,5,0.909,0.800,0.851\n"
+    )
+    lines = pr_csv_lines_from_scores(str(scores), 3)
+    assert lines == [
+        "3,pantas,ES,0,1,25,0,0,1.000,1.000,1.000,25",
+        "3,pantas,IR,0,3,20,5,2,0.909,0.800,0.851,25",
+    ]
+    # round-trips through the plot_pr parser
+    from pantas_tpu.eval.plots import parse_pr_csv
+
+    csv = tmp_path / "cmp.csv"
+    csv.write_text("\n".join([PR_CSV_HEADER] + lines) + "\n")
+    data, truth = parse_pr_csv(str(csv))
+    assert truth == {1: {"ES": 25}, 3: {"IR": 25}}
+    assert data[0] == ["pantas", "ES", 1, 1.0, 1.0]
+
+
 def test_render_res_figures(tmp_path):
     _write_res_csvs(tmp_path)
     written = render_res_figures(
