@@ -179,6 +179,26 @@ def main():
                 if etype in ("ES", "CE", "IR", "A3", "A5", "ALL"):
                     print(f"| {cut} | {etype} | {tp} | {fp} | {fn} | {p} | {r} | {f1} |")
 
+        # P/R panel across every -w of this mode (plot_pr.py equivalent)
+        try:
+            from pantas_tpu.eval.plots import (
+                PR_CSV_HEADER,
+                pr_csv_lines_from_scores,
+                render_pr,
+            )
+
+            lines = [PR_CSV_HEADER]
+            for w in WS:
+                lines += pr_csv_lines_from_scores(
+                    str(WD / f"scores_{mode}_w{w}.csv"), w
+                )
+            cmp_csv = WD / f"scores_{mode}_cmp.csv"
+            cmp_csv.write_text("\n".join(lines) + "\n")
+            render_pr(str(cmp_csv), str(WD / f"scores_{mode}_pr.png"))
+            log(f"P/R figure -> {WD / f'scores_{mode}_pr.png'}")
+        except Exception as e:  # figures are best-effort; tables are the data
+            log(f"figure render skipped: {e}")
+
     # novel-sites scoring runs on the NOVEL-mode graph (the anno graph has
     # the sites as real node boundaries — nothing intra-node left to find)
     score_novel_sites(WD, prefix, run_dir=first_run and (WD / f"run_novel_w{WS[0]}"
