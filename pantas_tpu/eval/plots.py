@@ -559,6 +559,8 @@ def render_res_figures(
 
     # --- venns (parse_res.py:684-816) ---
     def venn_png(sets: Dict[str, Set], name: str, legends: List[str] | None = None):
+        if not 2 <= len(sets) <= 4:  # renderer range; e.g. 5+ -w values
+            return
         fig, ax = plt.subplots(1, 1, figsize=(5, 5))
         render_venn(sets, ax=ax, legend_loc=None if legends else "upper right")
         if legends:

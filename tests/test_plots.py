@@ -139,6 +139,31 @@ def test_pr_csv_from_scores(tmp_path):
     assert data[0] == ["pantas", "ES", 1, 1.0, 1.0]
 
 
+def test_parse_res_figures_cli(tmp_path):
+    # CLI wiring: parse-res --figures renders the suite (2 -w values ->
+    # pantas-pantas corr + per-w venns + multi-w pantas venns; tiny data
+    # so full_corr's singleton-Ws branch is skipped by design)
+    import sys as _sys
+
+    from conftest import run_cli
+    from test_aggregate import _write_fixtures
+
+    p3, p5, rmats, suppa, whip = _write_fixtures(tmp_path)
+    out = tmp_path / "res"
+    run_cli(
+        [_sys.executable, "-m", "pantas_tpu", "parse-res", "-o", str(out),
+         "--pantas", f"3={p3}", f"5={p5}",
+         "--rmats", str(rmats), "--suppa", str(suppa), "--whippet", str(whip),
+         "--min-dpsi", "0.05", "--figures"],
+    )
+    for must in [
+        "venn_full_rmats_whippet_suppa_pantas_3.png",
+        "venn_full_rmats_whippet_suppa_pantas_5.png",
+        "venn_full_pantas.png",
+    ]:
+        assert (out / must).stat().st_size > 5_000, must
+
+
 def test_render_res_figures(tmp_path):
     _write_res_csvs(tmp_path)
     written = render_res_figures(
