@@ -164,7 +164,7 @@ def bench_device(gfa, big, n_reads):
     path; on production TPU hosts the chip is PCIe-attached, not an HTTP
     tunnel)."""
 
-    def run_backend(platform_label, force_cpu):
+    def run_backend(platform_label, force_cpu, scatter=None):
         code = (
             "import io,os,sys,time,jax\n"
             + ("jax.config.update('jax_platforms','cpu')\n" if force_cpu else "")
@@ -179,14 +179,18 @@ def bench_device(gfa, big, n_reads):
             "    best=dt if best is None else min(best,dt)\n"
             "print(f'{best:.3f}')\n"
         )
+        env = dict(os.environ)
+        if scatter is not None:
+            env["PANTAS_SCATTER"] = scatter
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=600, check=True,
+                timeout=600, check=True, env=env,
             )
             best = float(proc.stdout.strip().splitlines()[-1])
+            label = platform_label + (f" [{scatter}]" if scatter else "")
             log(
-                f"device path (native parse -> {platform_label} scatter-add): "
+                f"device path (native parse -> {label} scatter-add): "
                 f"{n_reads / best:.0f} reads/s"
             )
             return n_reads / best
@@ -194,7 +198,12 @@ def bench_device(gfa, big, n_reads):
             log(f"{platform_label} device run skipped: {type(e).__name__}")
             return None
 
+    # default (TPU backends race the Pallas kernels) AND xla-forced: the
+    # raced sorted kernel wins on raw rate but dispatches more ops per
+    # batch, which a tunneled chip charges round-trips for — record both
+    # so the tradeoff stays visible on whatever backend runs this.
     session = run_backend("session-backend", force_cpu=False)
+    run_backend("session-backend", force_cpu=False, scatter="xla")
     cpu = run_backend("cpu-backend", force_cpu=True)
     return session or cpu
 
