@@ -274,4 +274,24 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
                         )
             result["scores_by_cut_csv"] = by_cut_csv
             _log(f"eval: per-cut scores -> {by_cut_csv}", log)
+            if eval_cfg.get("figures"):
+                # P/R panel over the cut sweep (plot_pr.py equivalent)
+                try:
+                    from pantas_tpu.eval.plots import (
+                        PR_CSV_HEADER,
+                        pr_csv_lines_from_scores,
+                        render_pr,
+                    )
+
+                    w = cfg.get("call", {}).get("w", 3)
+                    cmp_csv = os.path.join(wd, "scores_cmp.csv")
+                    with open(cmp_csv, "w") as out:
+                        print(PR_CSV_HEADER, file=out)
+                        for line in pr_csv_lines_from_scores(by_cut_csv, w):
+                            print(line, file=out)
+                    png = render_pr(cmp_csv, os.path.join(wd, "scores_pr.png"))
+                    result["scores_pr_png"] = png
+                    _log(f"eval: P/R figure -> {png}", log)
+                except Exception as e:  # best-effort; tables are the data
+                    _log(f"eval: figure render skipped ({e})", log)
     return result

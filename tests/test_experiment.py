@@ -33,7 +33,8 @@ def test_experiment_driver(tmp_path, example_graph):
         },
         "call": {"w": 3, "novel": True, "minintronsize": 20},
         "remap": {"min_intron_size": 20},
-        "eval": {"truth": f"{prefix}_truth.csv", "min_dpsi": 0.1, "relax": 5},
+        "eval": {"truth": f"{prefix}_truth.csv", "min_dpsi": 0.1, "relax": 5,
+                 "cuts": [1, 3, 5], "figures": True},
         "novel_sites": True,
         "threads": 2,
     }
@@ -51,6 +52,11 @@ def test_experiment_driver(tmp_path, example_graph):
     assert result["scores"]["IR"]["recall"] == 1.0
     assert (wd / "quant-remap.csv").exists()
     assert (wd / "scores.csv").exists()
+    # eval.cuts sweep + eval.figures P/R panel
+    cuts_rows = (wd / "scores_by_cut.csv").read_text().splitlines()
+    assert cuts_rows[0] == "cut,etype,tp,fp,fn,precision,recall,f1"
+    assert result["scores_pr_png"].endswith("scores_pr.png")
+    assert (wd / "scores_pr.png").stat().st_size > 10_000
     # novel-sites extension: per-replicate classified-site CSVs
     from pantas_tpu.events.sites import EVENTS_HEADER
 
