@@ -90,6 +90,30 @@ def _write_replicates(tmp_path, seed: int):
     return paths["c1"], paths["c2"]
 
 
+def test_remap_fuzz_matches_reference(tmp_path, reference_scripts):
+    # chain: fuzzed replicates -> reference quant -> both remaps
+    from fixtures_quant import REMAP_GTF
+
+    gtf = tmp_path / "genes.gtf"
+    gtf.write_text(REMAP_GTF)
+    for seed in range(4):
+        c1, c2 = _write_replicates(tmp_path, seed)
+        quant_csv = tmp_path / f"quant{seed}.csv"
+        quant_csv.write_text(_run(
+            [sys.executable, str(reference_scripts / "quantify.py"),
+             "--c1", *c1, "--c2", *c2]
+        ))
+        theirs = _run(
+            [sys.executable, str(reference_scripts / "remap.py"),
+             str(quant_csv), str(gtf)]
+        )
+        ours = _run(
+            [sys.executable, "-m", "pantas_tpu", "remap",
+             str(quant_csv), str(gtf)]
+        )
+        assert ours == theirs, f"seed {seed}"
+
+
 @pytest.mark.parametrize(
     "ref_mode,our_mode",
     [([], ["-a"]), (["--both"], []), (["-w", "3"], ["-a", "-w", "3"])],
