@@ -273,20 +273,26 @@ def _cmd_plot_pr(argv):
 
     csv_path = args.csv
     if args.scores:
-        import tempfile
-
         lines = [PR_CSV_HEADER]
         for spec in args.scores:
-            w, _, path = spec.partition("=")
+            w, eq, path = spec.partition("=")
+            if not eq or not path:
+                ap.error(f"--scores expects W=CSV specs, got {spec!r} "
+                         "(a positional csv must come BEFORE --scores)")
             lines.extend(pr_csv_lines_from_scores(path, w))
-        tmp = tempfile.NamedTemporaryFile(
-            "w", suffix=".csv", delete=False, prefix="plotpr_"
-        )
-        tmp.write("\n".join(lines) + "\n")
-        tmp.close()
-        csv_path = tmp.name
-        if args.out_png is None and args.csv is None:
-            ap.error("--scores needs -o OUT.png (or a positional csv path)")
+        if csv_path is None:
+            if args.out_png is None:
+                ap.error("--scores needs -o OUT.png or a positional csv "
+                         "path to write the converted CSV to")
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                "w", suffix=".csv", delete=False, prefix="plotpr_"
+            )
+            tmp.close()
+            csv_path = tmp.name
+        with open(csv_path, "w") as out:
+            out.write("\n".join(lines) + "\n")
     elif csv_path is None:
         ap.error("need a compare CSV or --scores")
     for line in truth_support_lines(csv_path):
