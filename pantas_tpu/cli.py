@@ -368,6 +368,11 @@ def _cmd_call(argv):
         help="host: reference-exact enumerator; device: annotated ES/A3/A5 "
         "as batched bitset matching on device (same row multiset)",
     )
+    ap.add_argument(
+        "--mesh", type=int, default=None,
+        help="device engine: shard the candidate axis data-parallel over N "
+        "devices (bit-exact for any N)",
+    )
     args = ap.parse_args(argv)
     from pantas_tpu.events import CallOptions, call_events
 
@@ -385,10 +390,20 @@ def _cmd_call(argv):
         debug=args.debug,
     )
     if args.engine == "device":
+        import functools
+
         from pantas_tpu.compile_cache import enable_persistent_cache
-        from pantas_tpu.events.batched import call_events_device as call_fn
+        from pantas_tpu.events.batched import call_events_device
 
         enable_persistent_cache()
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from pantas_tpu.parallel.mesh import coverage_mesh
+
+            mesh = coverage_mesh(jax.devices()[: args.mesh])
+        call_fn = functools.partial(call_events_device, mesh=mesh)
     else:
         call_fn = call_events
     for row in call_fn(args.GFA, args.GTF, opts):

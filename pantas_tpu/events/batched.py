@@ -99,6 +99,41 @@ def _bitset_matrix(sets: Sequence[Set[int]], vocab: int) -> np.ndarray:
     return out
 
 
+def _eval_match(match, tables, index_arrays, mesh=None):
+    """Evaluate a per-candidate match function on device.
+
+    ``match(*tables, *index_vectors)`` must be an elementwise map over the
+    candidate axis (gathers from the replicated tables + bitwise ops —
+    every finder below has this shape). With ``mesh`` (1-D), the candidate
+    axis shards data-parallel via ``shard_map`` — tables replicate, no
+    collectives are needed, and results are bit-exact for any shard count.
+    Returns a host bool array of the original candidate count.
+    """
+    _ensure_backend()
+    import jax
+    import jax.numpy as jnp
+
+    jdx = [jnp.asarray(np.asarray(v, dtype=np.int32)) for v in index_arrays]
+    if mesh is None:
+        return np.asarray(jax.jit(match)(*tables, *jdx))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = int(jdx[0].shape[0])
+    ndev = int(mesh.devices.size)
+    pad = (-n) % ndev
+    if pad:  # pad with index 0 (a valid row); padded hits are sliced off
+        jdx = [jnp.concatenate([v, jnp.zeros((pad,), v.dtype)]) for v in jdx]
+    axis = mesh.axis_names[0]
+    f = shard_map(
+        match,
+        mesh=mesh,
+        in_specs=tuple([P()] * len(tables) + [P(axis)] * len(jdx)),
+        out_specs=P(axis),
+    )
+    return np.asarray(jax.jit(f)(*tables, *jdx))[:n]
+
+
 class _BlockVocab:
     """Per-block (per-gene) token id spaces.
 
@@ -132,6 +167,7 @@ def find_annotated_es(
     graph: SplicingGraph,
     t2g: Dict[str, str],
     rca: int = -1,
+    mesh=None,
 ) -> Set[Tuple[Jct, Jct, Jct]]:
     """All (J, j1, j2) annotated-ES triples, evaluated as device bitset ops."""
     _ensure_backend()
@@ -225,9 +261,6 @@ def find_annotated_es(
     E = jnp.asarray(_bitset_matrix(e_rows, ev.width))
     Ef = jnp.asarray(_bitset_matrix(filt_sets, ev.width))
 
-    ix = {k: jnp.asarray(np.asarray(v, dtype=np.int32)) for k, v in idx.items()}
-
-    @jax.jit
     def match(T, E, Ef, jJ, j1, j2, j1_tail, j2_head, ef):
         inclusion = (T[j1] & T[j2]) & ~T[jJ]
         has_inclusion = jnp.any(inclusion != 0, axis=1)
@@ -235,11 +268,11 @@ def find_annotated_es(
         has_new = jnp.any(new_exons != 0, axis=1)
         return has_inclusion & has_new
 
-    hits = np.asarray(
-        match(
-            T, E, Ef,
-            ix["jJ"], ix["j1"], ix["j2"], ix["j1_tail"], ix["j2_head"], ix["ef"],
-        )
+    hits = _eval_match(
+        match, (T, E, Ef),
+        [idx["jJ"], idx["j1"], idx["j2"], idx["j1_tail"], idx["j2_head"],
+         idx["ef"]],
+        mesh=mesh,
     )
     return {c for c, hit in zip(cands, hits) if hit}
 
@@ -249,6 +282,7 @@ def find_annotated_ss(
     t2g: Dict[str, str],
     genestrand: Dict[str, str],
     rca: int = -1,
+    mesh=None,
 ):
     """Annotated A5/A3 hits as device bitset ops.
 
@@ -382,19 +416,12 @@ def find_annotated_ss(
     Ex = jnp.asarray(_bitset_matrix(ex_rows, vocab))
     X = jnp.asarray(_bitset_matrix(x_rows, vocab))
 
-    @jax.jit
     def match(E, Ex, X, nn, ff, exi, xi):
         hit = (E[nn] & Ex[exi] & E[ff]) & ~X[xi]
         return jnp.any(hit != 0, axis=1)
 
-    hits = np.asarray(
-        match(
-            E, Ex, X,
-            jnp.asarray(np.asarray(idx_n, dtype=np.int32)),
-            jnp.asarray(np.asarray(idx_f, dtype=np.int32)),
-            jnp.asarray(np.asarray(idx_ex, dtype=np.int32)),
-            jnp.asarray(np.asarray(idx_x, dtype=np.int32)),
-        )
+    hits = _eval_match(
+        match, (E, Ex, X), [idx_n, idx_f, idx_ex, idx_x], mesh=mesh
     )
     return Counter(k for k, h in zip(keys, hits) if h)
 
@@ -403,6 +430,7 @@ def find_novel_es(
     graph: SplicingGraph,
     t2g: Dict[str, str],
     rca: int = -1,
+    mesh=None,
 ) -> Set[Tuple[Jct, Jct, Jct]]:
     """Novel-ES (J, j1, j2) triples as device bitset ops.
 
@@ -456,11 +484,10 @@ def find_novel_es(
     j1 = np.asarray([j_index[c[1]] for c in cands], dtype=np.int32)
     j2 = np.asarray([j_index[c[2]] for c in cands], dtype=np.int32)
 
-    @jax.jit
     def match(T, j1, j2):
         return jnp.any((T[j1] & T[j2]) != 0, axis=1)
 
-    hits = np.asarray(match(T, jnp.asarray(j1), jnp.asarray(j2)))
+    hits = _eval_match(match, (T,), [j1, j2], mesh=mesh)
     return {c for c, h in zip(cands, hits) if h}
 
 
@@ -468,6 +495,7 @@ def find_annotated_ir(
     graph: SplicingGraph,
     t2g: Dict[str, str],
     rca: int = -1,
+    mesh=None,
 ) -> Dict[Jct, Tuple[str, str]]:
     """Annotated-IR first-hit pairs as device bitset ops.
 
@@ -541,13 +569,10 @@ def find_annotated_ir(
     n2s = np.asarray([b for _, b in cand_node_idx], dtype=np.int32)
     rows = np.asarray(cand_row, dtype=np.int32)
 
-    @jax.jit
     def match(E, EJ, n1s, n2s, rows):
         return jnp.any((E[n1s] & E[n2s] & EJ[rows]) != 0, axis=1)
 
-    hits = np.asarray(
-        match(E, EJ, jnp.asarray(n1s), jnp.asarray(n2s), jnp.asarray(rows))
-    )
+    hits = _eval_match(match, (E, EJ), [n1s, n2s, rows], mesh=mesh)
     out: Dict[Jct, Tuple[str, str]] = {}
     for (J, n1, n2), h in zip(cands, hits):
         if h and J not in out:  # first hit in product order wins (host break)
@@ -559,6 +584,7 @@ def find_novel_ss_exonic(
     graph: SplicingGraph,
     t2g: Dict[str, str],
     opts: CallOptions,
+    mesh=None,
 ) -> Set[Tuple[Jct, int, str]]:
     """Novel exonic A3/A5 hit keys ``(J, block, node)`` as device bitset ops.
 
@@ -670,17 +696,17 @@ def find_novel_ss_exonic(
     nn = np.asarray([n_index[c[2]] for c in cands], dtype=np.int32)
     rr = np.asarray(cand_row, dtype=np.int32)
 
-    @jax.jit
     def match(E, S, C, nn, rr):
         return jnp.any((E[nn] & S[rr] & C[rr]) != 0, axis=1)
 
-    hits = np.asarray(match(E, S, C, jnp.asarray(nn), jnp.asarray(rr)))
+    hits = _eval_match(match, (E, S, C), [nn, rr], mesh=mesh)
     return {c for c, h in zip(cands, hits) if h}
 
 
 def find_novel_ce(
     graph: SplicingGraph,
     opts: CallOptions,
+    mesh=None,
 ) -> Dict[Jct, Set[Tuple[str, str]]]:
     """Novel-CE ``(exon_start, exon_end)`` pairs per annotated junction.
 
@@ -715,11 +741,10 @@ def find_novel_ce(
     a = np.asarray([rank[c[1]] for c in cands], dtype=np.int32)
     b = np.asarray([rank[c[2]] for c in cands], dtype=np.int32)
 
-    @jax.jit
     def match(a, b):
         return a <= b
 
-    hits = np.asarray(match(jnp.asarray(a), jnp.asarray(b)))
+    hits = _eval_match(match, (), [a, b], mesh=mesh)
     out: Dict[Jct, Set[Tuple[str, str]]] = {}
     for (J, es, ee), h in zip(cands, hits):
         if h:
@@ -733,6 +758,7 @@ def call_events_device(
     opts: CallOptions,
     log=None,
     graph: Optional[SplicingGraph] = None,
+    mesh=None,
 ):
     """Device-batched call engine.
 
@@ -773,7 +799,7 @@ def call_events_device(
     )
     if not opts.no_annotated and not annotated_filtered:
         if "ES" in opts.events:
-            for J, j1, j2 in sorted(find_annotated_es(graph, t2g, rca=opts.rca)):
+            for J, j1, j2 in sorted(find_annotated_es(graph, t2g, rca=opts.rca, mesh=mesh)):
                 _ht = graph.jn_keys(J)
                 inclusion = (
                     set(graph.jn_keys(j1)) & set(graph.jn_keys(j2))
@@ -802,7 +828,7 @@ def call_events_device(
                     graph.rc(j2),
                 )
         if "SS" in opts.events:
-            hits = find_annotated_ss(graph, t2g, genestrand, rca=opts.rca)
+            hits = find_annotated_ss(graph, t2g, genestrand, rca=opts.rca, mesh=mesh)
             for (etype, J, jo), count in sorted(hits.items()):
                 gene = next(iter(_genes_of_hts(graph.jn_keys(J), t2g)))
                 row = _row(
@@ -827,13 +853,13 @@ def call_events_device(
             ir_opts = replace(opts, events=["IR"])
             yield from _call_annotated(
                 graph, t2g, genestrand, genechr, ir_opts, log,
-                ir_oracle=find_annotated_ir(graph, t2g, rca=opts.rca),
+                ir_oracle=find_annotated_ir(graph, t2g, rca=opts.rca, mesh=mesh),
             )
     if opts.novel:
         if "ES" in opts.events:
             # the novel-junction --junction filter WORKS in the reference
             # (unlike the annotated pass's broken literal) — apply it here
-            hits = find_novel_es(graph, t2g, rca=opts.rca)
+            hits = find_novel_es(graph, t2g, rca=opts.rca, mesh=mesh)
             if opts.junction is not None:
                 hits = {
                     c for c in hits if f"{c[0][0]}-{c[0][1]}" == opts.junction
@@ -868,12 +894,12 @@ def call_events_device(
                     graph.rc(j2),
                 )
         ss_oracle = (
-            find_novel_ss_exonic(graph, t2g, opts)
+            find_novel_ss_exonic(graph, t2g, opts, mesh=mesh)
             if "SS" in opts.events
             else None
         )
         ce_oracle = (
-            find_novel_ce(graph, opts) if "ES" in opts.events else None
+            find_novel_ce(graph, opts, mesh=mesh) if "ES" in opts.events else None
         )
         yield from _call_novel(
             graph, t2g, genestrand, genechr, opts, log,

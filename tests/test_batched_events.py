@@ -212,3 +212,20 @@ def test_device_call_engine_example_scale(tmp_path, example_graph):
     )
     assert dev == host
     assert len(host) > 400  # the novel pass roughly triples the example rows
+
+
+def test_device_call_engine_mesh_invariance(tmp_path):
+    # --mesh N shards each finder's candidate axis over N virtual devices
+    # (replicated tables, no collectives) — rows must be identical to the
+    # unsharded device engine and the host caller for any N
+    paths = write_call_fixtures(tmp_path)
+    for name in ("splice", "cassette"):
+        gfa, gtf = paths[name]
+        for flags in (["--rca", "0"], ["--rca", "0", "--novel"]):
+            host = _rows(flags, gfa, gtf, tmp_path, f"{name}h")
+            for n in (2, 8):
+                dev = _rows(
+                    flags + ["--engine", "device", "--mesh", str(n)],
+                    gfa, gtf, tmp_path, f"{name}m{n}",
+                )
+                assert dev == host, (name, flags, n)
