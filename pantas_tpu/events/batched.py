@@ -171,7 +171,6 @@ def find_annotated_es(
 ) -> Set[Tuple[Jct, Jct, Jct]]:
     """All (J, j1, j2) annotated-ES triples, evaluated as device bitset ops."""
     _ensure_backend()
-    import jax
     import jax.numpy as jnp
 
     junctions = sorted(graph.junctions)  # deterministic candidate order
@@ -294,7 +293,6 @@ def find_annotated_ss(
     from collections import Counter
 
     _ensure_backend()
-    import jax
     import jax.numpy as jnp
 
     junctions = sorted(graph.junctions)
@@ -442,7 +440,6 @@ def find_novel_es(
     inclusion set, computed only for hits).
     """
     _ensure_backend()
-    import jax
     import jax.numpy as jnp
 
     if not graph.junctions or not graph.novel_junctions:
@@ -509,7 +506,6 @@ def find_annotated_ir(
     exact sets and walks the intron subpath only for that pair.
     """
     _ensure_backend()
-    import jax
     import jax.numpy as jnp
 
     ev = _BlockVocab()  # per-gene label ids (exact: the AND is confined to
@@ -606,7 +602,6 @@ def find_novel_ss_exonic(
     per-candidate set algebra is what batches onto the device.
     """
     _ensure_backend()
-    import jax
     import jax.numpy as jnp
 
     g = graph
@@ -717,8 +712,6 @@ def find_novel_ce(
     sorted node-id table; the emission loop applies its own gene/rc gates.
     """
     _ensure_backend()
-    import jax
-    import jax.numpy as jnp
 
     cands: List[Tuple[Jct, str, str]] = []
     for J in sorted(graph.junctions):
