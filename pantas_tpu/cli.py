@@ -1003,6 +1003,8 @@ _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
     cmp         multi-tool accuracy comparison vs truth (pantas/rMATS/Whippet/SUPPA2)
     convert-rmats   rMATS output dir -> comparator CSV
     convert-suppa   SUPPA2 .dpsi -> comparator CSV
+    plot-pr     truth-support table + P/R panel PNG from compare CSVs
+    latex-table LaTeX accuracy table from compare CSVs
     version     print the version
 """
 
