@@ -158,54 +158,78 @@ def bench_call(gfa):
 def bench_device(gfa, big, n_reads):
     """Secondary metric (stderr): the device path — native parse feeding
     the device scatter-add engine, end-to-end stage time. Measured on the
-    session backend (remote TPU here: per-batch tunnel dispatch dominates,
-    and the tunnel can hang outright — hence a time-limited subprocess)
-    AND on the host CPU backend (the latency-free shape of the same code
-    path; on production TPU hosts the chip is PCIe-attached, not an HTTP
-    tunnel)."""
+    session backend (remote TPU here) and the host CPU backend.
 
-    def run_backend(platform_label, force_cpu, scatter=None):
+    Methodology (round 4, resolves the r3 default-vs-xla contradiction):
+    one discarded warm-up run pays the one-time scatter race + compiles,
+    then the default and PANTAS_SCATTER=xla configurations run as
+    INTERLEAVED A/B pairs and each side reports its median — sequential
+    best-of-2 runs let tunnel drift (measured 3 s..260 s for the identical
+    stage within one hour) masquerade as a kernel-choice effect."""
+    import statistics
+
+    def run_once(force_cpu, scatter=None, cap=420):
         code = (
             "import io,os,sys,time,jax\n"
             + ("jax.config.update('jax_platforms','cpu')\n" if force_cpu else "")
             + f"sys.path.insert(0, {str(REPO)!r})\n"
             "from pantas_tpu.coverage.device import augment_gfa_device_native\n"
-            "best=None\n"
-            "for _ in range(2):\n"
-            "    t0=time.time()\n"
-            f"    augment_gfa_device_native({str(big)!r}, {str(gfa)!r}, "
-            "out=open(os.devnull,'w'), log=io.StringIO())\n"
-            "    dt=time.time()-t0\n"
-            "    best=dt if best is None else min(best,dt)\n"
-            "print(f'{best:.3f}')\n"
+            "t0=time.time()\n"
+            f"augment_gfa_device_native({str(big)!r}, {str(gfa)!r}, "
+            "out=open(os.devnull,'w'), log=sys.stderr)\n"
+            "print(f'{time.time()-t0:.3f}')\n"
         )
         env = dict(os.environ)
         if scatter is not None:
             env["PANTAS_SCATTER"] = scatter
+        else:
+            env.pop("PANTAS_SCATTER", None)
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=600, check=True, env=env,
+                timeout=cap, check=True, env=env,
             )
-            best = float(proc.stdout.strip().splitlines()[-1])
-            label = platform_label + (f" [{scatter}]" if scatter else "")
-            log(
-                f"device path (native parse -> {label} scatter-add): "
-                f"{n_reads / best:.0f} reads/s"
-            )
-            return n_reads / best
+            dt = float(proc.stdout.strip().splitlines()[-1])
+            impl = ""
+            for line in proc.stderr.splitlines():
+                if "scatter impl:" in line:
+                    impl = line.split("scatter impl:")[-1].strip()
+            return dt, impl
         except Exception as e:
-            log(f"{platform_label} device run skipped: {type(e).__name__}")
-            return None
+            log(f"device run skipped: {type(e).__name__}")
+            return None, ""
 
-    # default (TPU backends race the Pallas kernels) AND xla-forced: the
-    # raced sorted kernel wins on raw rate but dispatches more ops per
-    # batch, which a tunneled chip charges round-trips for — record both
-    # so the tradeoff stays visible on whatever backend runs this.
-    session = run_backend("session-backend", force_cpu=False)
-    run_backend("session-backend", force_cpu=False, scatter="xla")
-    cpu = run_backend("cpu-backend", force_cpu=True)
-    return session or cpu
+    warm = run_once(force_cpu=False, cap=600)  # pays race/compiles; discarded
+    if warm[0] is None:
+        log("session-backend warm-up failed; skipping device A/B")
+    else:
+        times = {"default": [], "xla": []}
+        impl = ""
+        for _ in range(2):
+            dt, i = run_once(force_cpu=False)
+            if dt is not None:
+                times["default"].append(dt)
+                impl = i or impl
+            dt, _i = run_once(force_cpu=False, scatter="xla")
+            if dt is not None:
+                times["xla"].append(dt)
+        for label, ts in times.items():
+            if ts:
+                med = statistics.median(ts)
+                sel = f" [{impl}]" if label == "default" and impl else ""
+                log(
+                    f"device path (native parse -> session-backend "
+                    f"{label}{sel} scatter-add): {n_reads / med:.0f} reads/s "
+                    f"(median of {len(ts)}, runs={[round(t, 2) for t in ts]})"
+                )
+    cpu, _ = run_once(force_cpu=True)
+    if cpu is not None:
+        log(
+            f"device path (native parse -> cpu-backend scatter-add): "
+            f"{n_reads / cpu:.0f} reads/s"
+        )
+        return n_reads / cpu
+    return None
 
 
 def main():

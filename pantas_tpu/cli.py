@@ -276,7 +276,7 @@ def _cmd_plot_pr(argv):
         lines = [PR_CSV_HEADER]
         for spec in args.scores:
             w, eq, path = spec.partition("=")
-            if not eq or not path:
+            if not w or not eq or not path:
                 ap.error(f"--scores expects W=CSV specs, got {spec!r} "
                          "(a positional csv must come BEFORE --scores)")
             lines.extend(pr_csv_lines_from_scores(path, w))
@@ -291,6 +291,7 @@ def _cmd_plot_pr(argv):
             )
             tmp.close()
             csv_path = tmp.name
+            print(f"[plot-pr] converted CSV: {csv_path}", file=sys.stderr)
         with open(csv_path, "w") as out:
             out.write("\n".join(lines) + "\n")
     elif csv_path is None:
@@ -402,7 +403,15 @@ def _cmd_call(argv):
 
             from pantas_tpu.parallel.mesh import coverage_mesh
 
-            mesh = coverage_mesh(jax.devices()[: args.mesh])
+            devices = jax.devices()[: args.mesh]
+            if len(devices) < args.mesh:
+                print(
+                    f"[call] WARNING: --mesh {args.mesh} requested but only "
+                    f"{len(devices)} device(s) available; using a "
+                    f"{len(devices)}-device mesh",
+                    file=sys.stderr,
+                )
+            mesh = coverage_mesh(devices)
         call_fn = functools.partial(call_events_device, mesh=mesh)
     else:
         call_fn = call_events
@@ -980,31 +989,52 @@ _COMMANDS = {
 
 _USAGE = """pantas-tpu [build|augment|call|quant|remap|map|version] -h
 
+  pipeline stages:
     build       build and annotate a spliced pangenome
     augment     augment an annotated spliced pangenome using alignments information
+    augment-dist  multi-process sharded augment (jax.distributed, byte-identical)
     call        call events from single replicate
     quant       quantify events comparing conditions
     remap       remap events to reference haplotype
+    replicate   fused GAF -> events (augment+call, no GFA round trip)
+
+  mapping / input preparation:
     map         align reads to the spliced pangenome (GAF output)
     map-accuracy  mapper placement accuracy + MAPQ calibration sweep
     prefilter   shark-style gene-panel read prefilter (FASTQ -> FASTQ + TSV)
-    reduce      reduce a GFA to its transcript id-intervals (gene panels)
-    replicate   fused GAF -> events (augment+call, no GFA round trip)
+    filter-reads  keep FASTQ records whose names match a prefilter TSV
+    gamp        legacy vg-JSON (GAMP) augmenter (edge weights only)
     gaf2sam     project graph alignments to linear SAM records
+
+  graph tools:
+    reduce      reduce a GFA to its transcript id-intervals (gene panels)
+    prune       drop uncovered nodes/edges from a GFA (id-interval pruning)
+    reintroduce-paths  restore P lines onto a pruned GFA (validated double pass)
+    add-junctions   legacy exon/junction tagging from transcript FASTA
+    add-haplotypes  legacy haplotype path synthesis from a phased VCF
+    fix-vidx    renumber variant indexes in a GFA
+    clean-gtf   normalize a GTF for the build layer
     introns     fit the intron length distribution from a GTF
+
+  analysis / extensions:
+    novel-sites detect intra-node novel splice sites from clip pile-ups (GAF)
     check-coverage  count spliced support for skipped exons in SAM files
     check-novel classify skipped exons as novel vs annotated
-    timev       run a command under rusage timing (time -v format log)
-    bench-table fold a directory of .time logs into one CSV
-    novel-sites detect intra-node novel splice sites from clip pile-ups (GAF)
+
+  evaluation harness:
     exp         run a full two-condition experiment from a JSON config
     sim         simulate AS-event reads with ground truth
     eval        score called events against simulation truth (P/R/F1)
     cmp         multi-tool accuracy comparison vs truth (pantas/rMATS/Whippet/SUPPA2)
+    compare-rtpcr   compare quant output against RT-PCR truth tables
     convert-rmats   rMATS output dir -> comparator CSV
     convert-suppa   SUPPA2 .dpsi -> comparator CSV
+    parse-res   fold comparator outputs into result tables (+ --figures suite)
     plot-pr     truth-support table + P/R panel PNG from compare CSVs
     latex-table LaTeX accuracy table from compare CSVs
+    timev       run a command under rusage timing (time -v format log)
+    bench-table fold a directory of .time logs into one CSV
+
     version     print the version
 """
 

@@ -14,6 +14,7 @@ device.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from typing import Dict, Iterable, List, Optional, Tuple
@@ -85,6 +86,21 @@ class SlotEncoder:
         return arr
 
 
+@functools.lru_cache(maxsize=None)
+def _sparse_reader(size: int):
+    """Jitted (nonzero indices, values) extractor for one size bucket —
+    a single dispatch instead of several eager ops (each eager op costs a
+    round trip on tunneled backends)."""
+    import jax
+    import jax.numpy as jnp
+
+    def _sparse(flat):
+        (idx,) = jnp.nonzero(flat, size=size, fill_value=-1)
+        return idx, flat[jnp.where(idx >= 0, idx, 0)]
+
+    return jax.jit(_sparse)
+
+
 class DeviceCoverage:
     """Accumulate a slot stream on device(s).
 
@@ -95,7 +111,7 @@ class DeviceCoverage:
     device owns a contiguous slot range and the psum runs over data only.
     """
 
-    def __init__(self, tensors: GraphTensors, mesh=None):
+    def __init__(self, tensors: GraphTensors, mesh=None, batches_hint=None):
         import jax
         import jax.numpy as jnp
 
@@ -110,6 +126,9 @@ class DeviceCoverage:
         self.mesh = mesh
         self._jnp = jnp
         self._padded_slots = tensors.total_slots
+        self._race_pending = False
+        self._force_race = False
+        self._batches_hint = batches_hint
         if jax.default_backend() == "tpu":
             # per-machine, not per-process, compile costs on the slow
             # remote-compile TPU path (harmless if it fails)
@@ -134,27 +153,39 @@ class DeviceCoverage:
             self.n_shards = 1
             scatter_env = os.environ.get("PANTAS_SCATTER", "").lower()
             on_tpu = jax.default_backend() == "tpu"
-            # Race XLA scatter vs the Pallas kernels on this hardware once
-            # per process and use the winner (on TPU v5e the sorted-run
-            # Pallas kernel wins at every measured size —
-            # docs/PERFORMANCE.md). Default ON for TPU backends: the
-            # persistent compilation cache makes the race's one-time kernel
-            # compiles a per-machine cost, not per-process. On CPU the
-            # Pallas candidates fail verification and the race just re-picks
-            # XLA, so default OFF there (skip the pointless warmup);
-            # PANTAS_SCATTER=race forces it, =xla/off disables it.
-            if scatter_env in ("race", "auto") or (
-                scatter_env not in ("xla", "off") and on_tpu
-            ):
+            # Scatter-impl selection (single chip). The DEPLOYMENT decision
+            # is made by an END-TO-END race at the actual deployment shape
+            # (counts length × stage batch size, on the first real slot
+            # batch) through the session backend's real dispatch path —
+            # raw kernel rate picked the wrong winner on tunneled backends
+            # where dispatch cost dominates (BENCH_r03). The per-backend
+            # verdict persists next to the compile cache, so the race runs
+            # once per machine per regime. Default ON for TPU backends; on
+            # CPU the Pallas candidates fail verification and the race
+            # would just re-pick XLA, so default OFF there.
+            # PANTAS_SCATTER=race forces a fresh race, =xla/off forces the
+            # plain XLA scatter, =pallas/sorted forces the sorted kernel.
+            from pantas_tpu.coverage.pallas_kernel import jit_scatter
+
+            if scatter_env in ("xla", "off"):
+                self._step = jit_scatter("xla")
+            elif scatter_env in ("pallas", "sorted", "pallas-sorted"):
+                self._step = jit_scatter("pallas-sorted")
+            elif scatter_env in ("race", "auto") or (not scatter_env and on_tpu):
                 from pantas_tpu.compile_cache import enable_persistent_cache
-                from pantas_tpu.coverage.pallas_kernel import pick_scatter_impl
 
                 enable_persistent_cache()
-                name, fn = pick_scatter_impl()
-                print(f"[device] scatter impl: {name}", file=sys.stderr)
-                self._step = fn
+                self._step = None  # resolved on the first real batch
+                self._race_pending = True
+                self._force_race = scatter_env == "race"
             else:
-                self._step = jax.jit(scatter_add_counts)
+                self._step = jit_scatter("xla")
+            # pad single-chip counts to a power-of-2 bucket: compiled
+            # scatter executables (and the persisted race verdict) are then
+            # shared across graphs in the same bucket instead of per-graph
+            # — a fresh donated Pallas compile through the remote-compile
+            # tunnel measured 259 s, so shape reuse matters
+            self._padded_slots = max(1 << 12, 1 << (tensors.total_slots - 1).bit_length())
             self.counts = jnp.zeros((self._padded_slots,), dtype=jnp.int32)
 
     def add_slots(self, slots: np.ndarray, pad_to: Optional[int] = None) -> None:
@@ -171,6 +202,20 @@ class DeviceCoverage:
             from pantas_tpu.parallel.mesh import pad_to_multiple
 
             slots = pad_to_multiple(slots, self.n_shards)
+        if self._step is None and self._race_pending:
+            # end-to-end race at the deployment shape, on this real batch
+            from pantas_tpu.coverage.pallas_kernel import pick_scatter_endtoend
+
+            name, fn = pick_scatter_endtoend(
+                self._padded_slots,
+                len(slots),
+                sample=slots,
+                force_race=self._force_race,
+                batches_hint=self._batches_hint,
+            )
+            print(f"[device] scatter impl: {name}", file=sys.stderr)
+            self._step = fn
+            self._race_pending = False
         self.counts = self._step(self.counts, self._jnp.asarray(slots))
 
     def result(self) -> np.ndarray:
@@ -180,8 +225,43 @@ class DeviceCoverage:
             import jax
 
             merged = jax.jit(reduce_data_parts)(self.counts)
-            return np.asarray(merged)[: self.t.total_slots]
-        return np.asarray(self.counts)[: self.t.total_slots]
+        else:
+            merged = self.counts
+        return self._read_back(merged)
+
+    def _read_back(self, merged) -> np.ndarray:
+        """Copy the counts vector device -> host, sparsely when it pays.
+
+        A dense readback moves ``4 * padded_slots`` bytes; on a tunneled
+        backend that is the measured stage bottleneck (113 s for 12.8 MB in
+        one capture — the scatter itself took 1.2 s), and even on
+        PCIe-attached chips genome-scale counts are ~1 GB. Coverage counts
+        are sparse (only touched slots are nonzero), so when the nonzero
+        count is small we read back (indices, values) instead — one scalar
+        readback for the count, two ``O(nnz)`` arrays, exact
+        reconstruction. Falls back to the dense copy when the vector is
+        dense enough that sparse would not help.
+        """
+        jnp = self._jnp
+        total = self.t.total_slots
+        try:
+            nnz = int(jnp.sum(merged[:total] != 0))
+        except Exception:
+            return np.asarray(merged)[:total]
+        if nnz == 0:
+            return np.zeros(total, dtype=np.dtype(str(merged.dtype)))
+        # power-of-2 size bucket bounds the number of distinct nonzero
+        # compilations; sparse pays while 2 * size << total
+        size = max(1024, 1 << (nnz - 1).bit_length())
+        if 4 * size >= total:
+            return np.asarray(merged)[:total]
+        idx, vals = _sparse_reader(size)(merged[:total])
+        idx_np = np.asarray(idx)
+        vals_np = np.asarray(vals)
+        out = np.zeros(total, dtype=vals_np.dtype)
+        mask = idx_np >= 0
+        out[idx_np[mask]] = vals_np[mask]
+        return out
 
 
 def counts_from_device(
@@ -268,6 +348,20 @@ def _load_checkpoint(path: str, enc: SlotEncoder, dev: "DeviceCoverage") -> int:
     return int(state["offset"])
 
 
+def _estimate_batches(gaf_path: str, flush_every: int) -> int:
+    """Expected slot-batch count for a GAF, from its byte size.
+
+    Calibration on the bench workload: ~160 bytes and ~23 count slots per
+    record. Order-of-magnitude is all the scatter-impl projection needs
+    (it separates 23-batch panel stages from 500-batch genome stages).
+    """
+    try:
+        size = os.path.getsize(gaf_path)
+    except OSError:
+        return 1
+    return max(1, int(size * 23 / (160 * flush_every)))
+
+
 def augment_gfa_device_native(
     gaf_path: str,
     gfa_path: str,
@@ -300,7 +394,9 @@ def augment_gfa_device_native(
     if tensors is None:
         tensors = compile_gfa(gfa_path)
     eng = NativeCoverage(tensors)
-    dev = DeviceCoverage(tensors, mesh=mesh)
+    dev = DeviceCoverage(
+        tensors, mesh=mesh, batches_hint=_estimate_batches(gaf_path, flush_every)
+    )
 
     print("Augmentation by GAF alignments (native parse -> device)", file=log)
     sess = eng.slots_begin(gaf_path, 0, -1, mapq_thr)
@@ -367,7 +463,9 @@ def augment_gfa_device(
     node_len = {n: int(l) for n, l in zip(tensors.node_names, tensors.node_len)}
 
     enc = SlotEncoder(tensors)
-    dev = DeviceCoverage(tensors, mesh=mesh)
+    dev = DeviceCoverage(
+        tensors, mesh=mesh, batches_hint=_estimate_batches(gaf_path, flush_every)
+    )
 
     start_offset = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):

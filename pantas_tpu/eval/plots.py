@@ -291,15 +291,6 @@ def _venn_regions(sets: Dict[str, Set]) -> Dict[Tuple[str, ...], int]:
     return regions
 
 
-def _in_ellipse(x, y, shape) -> bool:
-    cx, cy, w, h, ang = shape
-    t = math.radians(-ang)
-    dx, dy = x - cx, y - cy
-    rx = dx * math.cos(t) - dy * math.sin(t)
-    ry = dx * math.sin(t) + dy * math.cos(t)
-    return (rx / (w / 2)) ** 2 + (ry / (h / 2)) ** 2 <= 1.0
-
-
 def render_venn(
     sets: Dict[str, Set],
     ax=None,
@@ -341,22 +332,33 @@ def render_venn(
             )
         )
 
-    # Rasterize membership over the unit square; centroid per region code.
-    sums: Dict[int, List[float]] = {}
+    # Rasterize membership over the unit square; centroid per region code
+    # (vectorized: one (grid, grid) mask per ellipse, then a bincount over
+    # the combined region codes).
+    import numpy as np
+
     step = 1.0 / grid
-    for iy in range(grid):
-        y = (iy + 0.5) * step
-        for ix in range(grid):
-            x = (ix + 0.5) * step
-            code = 0
-            for i, shape in enumerate(shapes):
-                if _in_ellipse(x, y, shape):
-                    code |= 1 << i
-            if code:
-                acc = sums.setdefault(code, [0.0, 0.0, 0])
-                acc[0] += x
-                acc[1] += y
-                acc[2] += 1
+    xs = (np.arange(grid) + 0.5) * step
+    X, Y = np.meshgrid(xs, xs)  # Y varies along axis 0, X along axis 1
+    code_grid = np.zeros((grid, grid), dtype=np.int32)
+    for i, shape in enumerate(shapes):
+        cx, cy, w, h, ang = shape
+        t = math.radians(-ang)
+        dx, dy = X - cx, Y - cy
+        rx = dx * math.cos(t) - dy * math.sin(t)
+        ry = dx * math.sin(t) + dy * math.cos(t)
+        inside = (rx / (w / 2)) ** 2 + (ry / (h / 2)) ** 2 <= 1.0
+        code_grid |= inside.astype(np.int32) << i
+    flat = code_grid.ravel()
+    ncodes = 1 << len(shapes)
+    cnt = np.bincount(flat, minlength=ncodes)
+    sx = np.bincount(flat, weights=X.ravel(), minlength=ncodes)
+    sy = np.bincount(flat, weights=Y.ravel(), minlength=ncodes)
+    sums: Dict[int, List[float]] = {
+        c: [float(sx[c]), float(sy[c]), int(cnt[c])]
+        for c in range(1, ncodes)
+        if cnt[c]
+    }
     for inc, count in regions.items():
         code = 0
         for i, name in enumerate(names):

@@ -57,11 +57,16 @@ def test_truth_support_differential(tmp_path):
     assert ref.returncode == 0, ref.stderr
     ours = "\n".join(truth_support_lines(str(csv))) + "\n"
     assert ours == ref.stdout
-    # reference wrote <csv>.png; ours goes to a distinct path
+    # reference wrote <csv>.png; ours goes to a distinct path and must be
+    # PIXEL-identical (byte-identical, in fact — same Agg renderer, same
+    # rcParams/figsize/palette transcribed from plot_pr.py:48-101)
     ref_png = tmp_path / "cmp.csv.png"
     assert ref_png.stat().st_size > 10_000
     out = render_pr(str(csv), str(tmp_path / "ours.png"))
     assert os.path.getsize(out) > 10_000
+    assert ref_png.read_bytes() == (tmp_path / "ours.png").read_bytes(), (
+        "render_pr PNG diverged from the reference plot_pr.py rendering"
+    )
 
 
 def test_latex_table_differential(tmp_path):
@@ -90,6 +95,65 @@ def test_venn_regions():
     )
     texts = sorted(t.get_text() for t in ax.texts)
     assert texts == ["0", "1", "1"]  # x-only=0, x∩y={1}, y-only={2}
+
+
+def _fig_rgba(fig):
+    """Rasterize a figure to an RGBA numpy buffer (no file round-trip)."""
+    fig.canvas.draw()
+    import numpy as np
+
+    return np.asarray(fig.canvas.buffer_rgba()).copy()
+
+
+def test_venn_rendered_buffer_content():
+    """Content-level venn check: the rendered RGBA buffer is deterministic
+    across renders, region-count digits land at the rasterized-centroid
+    positions, and the ellipse fills actually composite (interior pixels
+    differ from the white background)."""
+    import numpy as np
+
+    sets = {"a": {1, 2, 3, 4}, "b": {3, 4, 5}, "c": {4, 5, 6, 7}}
+    ax1 = render_venn(dict(sets), legend_loc=None, grid=120)
+    ax2 = render_venn(dict(sets), legend_loc=None, grid=120)
+    buf1, buf2 = _fig_rgba(ax1.get_figure()), _fig_rgba(ax2.get_figure())
+    assert np.array_equal(buf1, buf2)
+    # counts: a-only {1,2}=2, a∩b {3}=1, a∩b∩c {4}=1, b∩c {5}=1, c-only {6,7}=2
+    texts = sorted(t.get_text() for t in ax1.texts)
+    assert texts == ["0", "0", "1", "1", "1", "2", "2"]
+    h, w = buf1.shape[:2]
+    center = buf1[h // 2, w // 2]
+    assert not np.array_equal(center[:3], [255, 255, 255])  # composited fill
+    assert np.array_equal(buf1[2, 2][:3], [255, 255, 255])  # background white
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_corr_rendered_buffer_content():
+    """Content-level corr check: the JointGrid buffer is deterministic and
+    the annotated Pearson value equals scipy's on the same columns."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    rng = random.Random(11)
+    for i in range(40):
+        x = rng.uniform(-1, 1)
+        rows.append({"A": x, "B": x * 0.7 + rng.uniform(-0.2, 0.2)})
+    df = pd.DataFrame(rows)
+    from scipy.stats import pearsonr
+
+    expect = str(round(float(pearsonr(df["A"], df["B"])[0]), 3))
+    from pantas_tpu.eval.plots import _jointgrid_fig
+
+    fig1 = _jointgrid_fig(df, "A", "B", None)
+    fig2 = _jointgrid_fig(df, "A", "B", None)
+    texts = [t.get_text() for a in fig1.axes for t in a.texts]
+    assert f"Pearson correlation: {expect}" in texts, (expect, texts)
+    assert np.array_equal(_fig_rgba(fig1), _fig_rgba(fig2))
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
 
 
 def _write_res_csvs(tmp_path):
