@@ -314,16 +314,29 @@ def simulate(
     seed: int = 7,
     etypes: Sequence[str] = ("ES", "IR", "A3", "A5"),
     replicates: int = 1,
+    dpsi: float = 0.5,
+    depth_factors: Sequence[float] = (),
+    min_pairs: int = 8,
     log=sys.stderr,
 ) -> List[SimEvent]:
     """Write {prefix}_c{1,2}_{1,2}.fq + {prefix}_truth.csv; return events.
 
-    Condition 1 reads come from base isoforms only; condition 2 reads are a
-    50/50 mix of base + event isoform (ΔPSI signal ≈ 0.5). With
+    Condition 1 reads come from base isoforms only; condition 2 reads mix
+    base and event isoform at ``dpsi`` event fraction (PSI_c2 = 1 − dpsi,
+    PSI_c1 = 1 ⇒ ΔPSI signal ≈ ``dpsi``; default 0.5). With
     ``replicates`` > 1 every condition gets that many independent read
     samples over the same events/truth, named
     ``{prefix}_c{c}_r{r}_{mate}.fq`` (the reference workflow's per-sample
     fastq layout, exps/1-dm-sim/workflow/rules/simulation.smk).
+
+    Hard-regime knobs (the reference scores at Δψ ≥ 0.05 over real SRA
+    reads, exps/1-dm-sim/workflow/Snakefile:83-108 — these let the
+    synthetic benchmark leave its saturated P=R=1 region):
+    ``dpsi`` < 0.5 weakens the signal; ``error_rate`` adds per-base
+    substitutions; ``depth_factors`` scales each replicate's depth
+    (unequal replicates), cycled over the replicate index; ``min_pairs``
+    floors the per-isoform pair count (lower it below 8 so small
+    depth × dpsi products are not silently inflated).
     """
     ref_by_chrom = read_fasta(fa_path)
     models = parse_transcript_models(gtf_path)
@@ -351,10 +364,11 @@ def simulate(
     reps = range(1, max(replicates, 1) + 1)
     fqs = {(c, r, m): [] for c in ("c1", "c2") for r in reps for m in (1, 2)}
     counter = [0]
+    factors = list(depth_factors) or [1.0]
     # reads_per_isoform is interpreted as target DEPTH: pair counts scale
     # with template length so junction coverage is length-independent
     def n_pairs(template: str, depth: float) -> int:
-        return max(8, int(depth * len(template) / (2 * read_len)))
+        return max(min_pairs, int(depth * len(template) / (2 * read_len)))
 
     for ev in events:
         # ASimulatoR isoform naming: the annotated isoform is
@@ -363,22 +377,23 @@ def simulate(
         # key on these suffixes
         template_name = f"{ev.gene}_template"
         variant_name = f"{ev.gene}_{ev.etype.lower()}"
-        for r in reps:
+        for i, r in enumerate(reps):
+            depth = reads_per_isoform * factors[i % len(factors)]
             _sample_pairs(
                 template_name, ev.base_seq,
-                n_pairs(ev.base_seq, reads_per_isoform),
+                n_pairs(ev.base_seq, depth),
                 rng, read_len, frag_len, error_rate,
                 fqs[("c1", r, 1)], fqs[("c1", r, 2)], counter,
             )
             _sample_pairs(
                 template_name, ev.base_seq,
-                n_pairs(ev.base_seq, reads_per_isoform / 2),
+                n_pairs(ev.base_seq, depth * (1 - dpsi)),
                 rng, read_len, frag_len, error_rate,
                 fqs[("c2", r, 1)], fqs[("c2", r, 2)], counter,
             )
             _sample_pairs(
                 variant_name, ev.event_seq,
-                n_pairs(ev.event_seq, reads_per_isoform / 2),
+                n_pairs(ev.event_seq, depth * dpsi),
                 rng, read_len, frag_len, error_rate,
                 fqs[("c2", r, 1)], fqs[("c2", r, 2)], counter,
             )

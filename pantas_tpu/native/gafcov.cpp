@@ -115,9 +115,70 @@ struct Engine {
     for (int64_t i = 0; i < n_nodes; ++i) csr_off[i + 1] += csr_off[i];
   }
 
+  // --- binned accumulation (large-graph stats mode) -----------------------
+  // At genome scale the counts vector is ~1 GB, so counts[slot]++ is a DRAM
+  // miss per bump (measured 2.6M -> 201k reads/s panel -> genome,
+  // docs/PERFORMANCE.md "Augment at whole-genome scale"). Buffering slot
+  // indices into per-range bins and draining each full bin as a burst keeps
+  // every drained increment inside one L2-sized counts window — the host
+  // mirror of the sorted-run device kernel's insight (sort fixes the access
+  // pattern). First-seen tracking moves to a bitset (8x denser than counts,
+  // and the deferred counts can no longer serve as the predicate).
+  static constexpr int BIN_SHIFT = 18;  // 256K slots = 1 MB counts window
+  static constexpr int BIN_CAP = 4096;  // buffered entries per bin (16 KB)
+  bool binned = false;
+  std::vector<int32_t> bin_buf;   // n_bins x BIN_CAP, flat
+  std::vector<int32_t> bin_n;     // per-bin fill
+  std::vector<uint64_t> seen_bits;
+
+  void enable_bins() {
+    binned = true;
+    size_t n_bins = (size_t)((total_slots >> BIN_SHIFT) + 1);
+    bin_buf.resize(n_bins * (size_t)BIN_CAP);
+    bin_n.assign(n_bins, 0);
+    seen_bits.assign((size_t)(total_slots + 63) / 64, 0);
+  }
+
+  // true exactly once per slot, in call order (stream first-seen order)
+  bool seen_mark(int64_t slot) {
+    uint64_t &w = seen_bits[(uint64_t)slot >> 6];
+    uint64_t m = 1ull << (slot & 63);
+    if (w & m) return false;
+    w |= m;
+    return true;
+  }
+
+  void bin_push(int64_t slot) {
+    size_t b = (size_t)(slot >> BIN_SHIFT);
+    int32_t *buf = bin_buf.data() + b * (size_t)BIN_CAP;
+    int32_t n = bin_n[b];
+    buf[n] = (int32_t)slot;
+    if (++n == BIN_CAP) {
+      for (int i = 0; i < BIN_CAP; ++i) counts[buf[i]]++;
+      n = 0;
+    }
+    bin_n[b] = n;
+  }
+
+  void flush_bins() {
+    if (!binned) return;
+    for (size_t b = 0; b < bin_n.size(); ++b) {
+      int32_t n = bin_n[b];
+      if (!n) continue;
+      const int32_t *buf = bin_buf.data() + b * (size_t)BIN_CAP;
+      for (int32_t i = 0; i < n; ++i) counts[buf[i]]++;
+      bin_n[b] = 0;
+    }
+  }
+  // ------------------------------------------------------------------------
+
   void bump(int64_t slot) {
     if (collect_slots) {
       slot_stream.push_back((int32_t)slot);
+      return;
+    }
+    if (binned) {
+      bin_push(slot);
       return;
     }
     counts[slot]++;
@@ -131,6 +192,11 @@ struct Engine {
         seen_pos.push_back(cur_pos);
       }
       slot_stream.push_back((int32_t)slot);
+      return;
+    }
+    if (binned) {
+      if (seen_mark(slot)) seen_order.push_back(slot);
+      bin_push(slot);
       return;
     }
     if (counts[slot]++ == 0) seen_order.push_back(slot);
@@ -459,6 +525,7 @@ int64_t process_range(Engine &E, const char *begin, const char *end,
     }
     p = nl ? nl + 1 : end;
   }
+  E.flush_bins();  // drain inside the worker thread (parallel)
   return lines;
 }
 
@@ -476,6 +543,7 @@ Engine *clone_config(const Engine &E) {
   c->dense_ids = E.dense_ids;
   c->counts.assign(E.total_slots, 0);
   c->csr_off = E.csr_off;
+  if (E.binned) c->enable_bins();
   return c;
 }
 
@@ -484,9 +552,14 @@ Engine *clone_config(const Engine &E) {
 // chunk i+1, and within-chunk order is the stream order) — this keeps the
 // multi-threaded augmented-GFA emission byte-identical to a serial run.
 void merge_shard(Engine &M, Engine &S) {
-  // seen check must precede the count add (M.counts[slot]>0 == M saw it)
-  for (int64_t slot : S.seen_order)
-    if (M.counts[slot] == 0) M.seen_order.push_back(slot);
+  M.flush_bins();
+  S.flush_bins();
+  // seen check must precede the count add (M.counts[slot]>0 == M saw it;
+  // in binned mode the bitset carries the predicate instead)
+  for (int64_t slot : S.seen_order) {
+    bool unseen = M.binned ? M.seen_mark(slot) : M.counts[slot] == 0;
+    if (unseen) M.seen_order.push_back(slot);
+  }
   for (int64_t i = 0; i < M.total_slots; ++i) M.counts[i] += S.counts[i];
   for (uint64_t key : S.novel_order) {
     auto it = M.novel.find(key);
@@ -576,6 +649,9 @@ void *gafcov_create(int64_t n_nodes, const int64_t *ids, const int32_t *node_len
   E->dense_ids = dense_ids != 0;
   E->counts.assign(total_slots, 0);
   E->build_csr();
+  // beyond ~8M slots (32 MB of counts) scattered increments start missing
+  // cache; switch the stats mode to binned accumulation
+  if (total_slots >= ((int64_t)1 << 23)) E->enable_bins();
   return E;
 }
 
@@ -640,10 +716,15 @@ int64_t gafcov_process_file(void *h, const char *path, int mapq_thr,
   }
   free(buf);
   fclose(fp);
+  E->flush_bins();
   return lines;
 }
 
-const int32_t *gafcov_counts(void *h) { return ((Engine *)h)->counts.data(); }
+const int32_t *gafcov_counts(void *h) {
+  Engine *E = (Engine *)h;
+  E->flush_bins();  // binned mode defers increments; drain before reading
+  return E->counts.data();
+}
 
 int64_t gafcov_seen_count(void *h) { return ((Engine *)h)->seen_order.size(); }
 const int64_t *gafcov_seen_order(void *h) {
@@ -664,6 +745,7 @@ void gafcov_novel_fill(void *h, uint64_t *keys, int32_t *vals) {
 // novel links in first-seen order. out_fd is a writable file descriptor.
 int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
   Engine *E = (Engine *)h;
+  E->flush_bins();  // binned mode defers increments; drain before reading
   FILE *in = fopen(gfa_in, "rb");
   if (!in) return -1;
   FILE *out = fdopen(dup(out_fd), "wb");
@@ -794,6 +876,10 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
   fclose(out);
   return 0;
 }
+
+// test hook: force binned accumulation regardless of graph size, so the
+// binned path gets differential coverage on small fixtures
+void gafcov_force_bins(void *h) { ((Engine *)h)->enable_bins(); }
 
 int64_t gafcov_rejected(void *h) { return ((Engine *)h)->rejected; }
 int64_t gafcov_skipped(void *h) { return ((Engine *)h)->skipped; }

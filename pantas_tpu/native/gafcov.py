@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import io
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -92,6 +93,8 @@ def _load():
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.gafcov_emit.restype = i64
     lib.gafcov_emit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.gafcov_force_bins.restype = None
+    lib.gafcov_force_bins.argtypes = [ctypes.c_void_p]
     lib.gafcov_slots_begin.restype = ctypes.c_void_p
     lib.gafcov_slots_begin.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, i64, i64, ctypes.c_int, f64,
@@ -285,6 +288,10 @@ class NativeCoverage:
             tensors.total_slots,
             1 if dense else 0,
         )
+        if os.environ.get("PANTAS_FORCE_BINS"):
+            # test hook: exercise the binned accumulator on small graphs
+            # (it auto-enables only beyond 8M count slots)
+            lib.gafcov_force_bins(self.handle)
 
     def process_file(
         self,

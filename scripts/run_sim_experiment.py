@@ -24,7 +24,17 @@ Two genome modes:
   = 25 Mbp genome, 125 events (25/type), depth 30, 2 replicates,
   w ∈ {3, 5}. Scores land in ``workdir/scores_w{W}.csv``.
 
-Usage: run_sim_experiment.py [workdir] [sample] [n_events] [depth] [mbp] [replicates]
+Usage: run_sim_experiment.py [workdir] [sample] [n_events] [depth] [mbp]
+                             [replicates] [dpsi] [error_rate] [depth_factors]
+
+Hard-regime knobs (de-saturating the benchmark — the all-1.000 anno-mode
+table at ΔPSI 0.5 / error 0.1% measures nothing): ``dpsi`` sets the c2
+event fraction (ΔPSI signal), ``error_rate`` the per-base substitution
+rate, ``depth_factors`` a comma list cycled over replicates (unequal
+depths), e.g.
+
+    python scripts/run_sim_experiment.py .bench/simhard s19 125 30 25 3 \
+        0.1 0.01 1.0,0.6,0.3
 """
 
 import json
@@ -45,7 +55,14 @@ N_EVENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 DEPTH = int(sys.argv[4]) if len(sys.argv) > 4 else 30
 MBP = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
 REPLICATES = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+# hard-regime knobs (VERDICT r3 task 5 — de-saturate the benchmark):
+DPSI = float(sys.argv[7]) if len(sys.argv) > 7 else 0.5
+ERROR = float(sys.argv[8]) if len(sys.argv) > 8 else 0.001
+DEPTH_FACTORS = (
+    [float(x) for x in sys.argv[9].split(",")] if len(sys.argv) > 9 else []
+)
 WS = [3] if MBP == 0 else [3, 5]
+HARD = DPSI != 0.5 or ERROR != 0.001 or bool(DEPTH_FACTORS)
 
 
 def log(msg):
@@ -100,6 +117,8 @@ def main():
             n_events=N_EVENTS, reads_per_isoform=DEPTH,
             etypes=("ES", "IR", "A3", "A5", "CE"),
             replicates=REPLICATES,
+            dpsi=DPSI, error_rate=ERROR, depth_factors=DEPTH_FACTORS,
+            min_pairs=2 if HARD else 8,
         )
 
     def rep_fqs(cond):
@@ -171,6 +190,12 @@ def main():
                 f"\n### Sim accuracy ({mode} mode, held-out {SAMPLE}, "
                 f"{N_EVENTS} events, {REPLICATES} reps, w={w}"
                 + (f", {MBP:g} Mbp synthetic genome" if MBP else ", example/4 panel")
+                + (
+                    f", dPSI={DPSI:g}, err={ERROR:g}"
+                    + (f", depth x{','.join(map(str, DEPTH_FACTORS))}"
+                       if DEPTH_FACTORS else "")
+                    if HARD else ""
+                )
                 + ")\n"
             )
             print("| cut | etype | TP | FP | FN | precision | recall | F1 |")

@@ -46,3 +46,21 @@ def test_native_gfa_scan_matches_python_compile(tmp_path, have_native):
     odd.write_text("S\t01\tACGT\nS\t2\tAC\nL\t01\t+\t2\t+\t*\n")
     t = compile_gfa(str(odd))
     assert t.node_names == ["01", "2"] and t.n_edges == 1
+
+
+def test_native_binned_matches_host_bytes(tmp_path, have_native, monkeypatch):
+    """Binned accumulation (the large-graph cache-friendly path, auto-on
+    beyond 8M count slots) must stay byte-identical — forced on via the
+    test hook, single- and multi-threaded, including first-seen IL/OL
+    orders (the bitset predicate replaces counts[slot]==0 there)."""
+    gfa, gaf = write_micro(tmp_path)
+    host_buf = io.StringIO()
+    augment_gfa(gaf, gfa, out=host_buf, log=io.StringIO())
+
+    monkeypatch.setenv("PANTAS_FORCE_BINS", "1")
+    for threads in (1, 2):
+        buf = io.StringIO()
+        native.augment_gfa_native(
+            gaf, gfa, out=buf, log=io.StringIO(), threads=threads
+        )
+        assert buf.getvalue() == host_buf.getvalue(), f"threads={threads}"
