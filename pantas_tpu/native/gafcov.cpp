@@ -21,6 +21,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -130,6 +132,16 @@ struct Engine {
   std::vector<int32_t> bin_buf;   // n_bins x BIN_CAP, flat
   std::vector<int32_t> bin_n;     // per-bin fill
   std::vector<uint64_t> seen_bits;
+  // shared-counts mode (MT shards): drains target the MASTER's counts
+  // vector under a per-bin lock instead of a private dense copy — at
+  // genome scale a per-shard counts vector costs ~1 GB of allocation +
+  // zeroing + a dense 236M-add merge per shard, which dwarfs the ~23M
+  // real increments of a 1M-read stream (measured: threads=2 was 4x
+  // SLOWER than threads=1 before this). Bins make the lock coarse
+  // (one acquisition per 4096 increments) and drains of one bin touch
+  // one disjoint counts window.
+  int32_t *shared_counts = nullptr;
+  std::mutex *bin_locks = nullptr;  // owned by the master
 
   void enable_bins() {
     binned = true;
@@ -137,7 +149,9 @@ struct Engine {
     bin_buf.resize(n_bins * (size_t)BIN_CAP);
     bin_n.assign(n_bins, 0);
     seen_bits.assign((size_t)(total_slots + 63) / 64, 0);
+    if (!bin_locks_own) bin_locks_own.reset(new std::mutex[n_bins]);
   }
+  std::unique_ptr<std::mutex[]> bin_locks_own;
 
   // true exactly once per slot, in call order (stream first-seen order)
   bool seen_mark(int64_t slot) {
@@ -148,13 +162,22 @@ struct Engine {
     return true;
   }
 
+  void drain_bin(size_t b, const int32_t *buf, int32_t n) {
+    if (shared_counts) {
+      std::lock_guard<std::mutex> g(bin_locks[b]);
+      for (int32_t i = 0; i < n; ++i) shared_counts[buf[i]]++;
+    } else {
+      for (int32_t i = 0; i < n; ++i) counts[buf[i]]++;
+    }
+  }
+
   void bin_push(int64_t slot) {
     size_t b = (size_t)(slot >> BIN_SHIFT);
     int32_t *buf = bin_buf.data() + b * (size_t)BIN_CAP;
     int32_t n = bin_n[b];
     buf[n] = (int32_t)slot;
     if (++n == BIN_CAP) {
-      for (int i = 0; i < BIN_CAP; ++i) counts[buf[i]]++;
+      drain_bin(b, buf, BIN_CAP);
       n = 0;
     }
     bin_n[b] = n;
@@ -165,8 +188,7 @@ struct Engine {
     for (size_t b = 0; b < bin_n.size(); ++b) {
       int32_t n = bin_n[b];
       if (!n) continue;
-      const int32_t *buf = bin_buf.data() + b * (size_t)BIN_CAP;
-      for (int32_t i = 0; i < n; ++i) counts[buf[i]]++;
+      drain_bin(b, bin_buf.data() + b * (size_t)BIN_CAP, n);
       bin_n[b] = 0;
     }
   }
@@ -541,9 +563,16 @@ Engine *clone_config(const Engine &E) {
   c->rc_base = E.rc_base;
   c->total_slots = E.total_slots;
   c->dense_ids = E.dense_ids;
-  c->counts.assign(E.total_slots, 0);
   c->csr_off = E.csr_off;
-  if (E.binned) c->enable_bins();
+  if (E.binned) {
+    // shared-counts shard: private bins + seen bitset, drains into the
+    // master's counts under its per-bin locks — no 1 GB private copy
+    c->enable_bins();
+    c->shared_counts = const_cast<int32_t *>(E.counts.data());
+    c->bin_locks = E.bin_locks_own.get();
+  } else {
+    c->counts.assign(E.total_slots, 0);
+  }
   return c;
 }
 
@@ -555,12 +584,14 @@ void merge_shard(Engine &M, Engine &S) {
   M.flush_bins();
   S.flush_bins();
   // seen check must precede the count add (M.counts[slot]>0 == M saw it;
-  // in binned mode the bitset carries the predicate instead)
+  // in binned mode the bitset carries the predicate instead — with
+  // shared counts the adds already landed during the shard's drains)
   for (int64_t slot : S.seen_order) {
     bool unseen = M.binned ? M.seen_mark(slot) : M.counts[slot] == 0;
     if (unseen) M.seen_order.push_back(slot);
   }
-  for (int64_t i = 0; i < M.total_slots; ++i) M.counts[i] += S.counts[i];
+  if (!S.shared_counts)
+    for (int64_t i = 0; i < M.total_slots; ++i) M.counts[i] += S.counts[i];
   for (uint64_t key : S.novel_order) {
     auto it = M.novel.find(key);
     if (it == M.novel.end()) {
@@ -651,7 +682,9 @@ void *gafcov_create(int64_t n_nodes, const int64_t *ids, const int32_t *node_len
   E->build_csr();
   // beyond ~8M slots (32 MB of counts) scattered increments start missing
   // cache; switch the stats mode to binned accumulation
-  if (total_slots >= ((int64_t)1 << 23)) E->enable_bins();
+  // (PANTAS_NO_BINS opts out — the measurement/debug escape hatch)
+  if (total_slots >= ((int64_t)1 << 23) && !getenv("PANTAS_NO_BINS"))
+    E->enable_bins();
   return E;
 }
 
