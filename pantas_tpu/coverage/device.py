@@ -244,6 +244,12 @@ class DeviceCoverage:
         """
         jnp = self._jnp
         total = self.t.total_slots
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # host memory is the device memory — a dense copy is free and
+            # the sparse path would only add per-shape op compiles
+            return np.asarray(merged)[:total]
         try:
             nnz = int(jnp.sum(merged[:total] != 0))
         except Exception:

@@ -75,6 +75,47 @@ def test_two_process_augment_byte_identical(tmp_path, n):
     assert out.read_text() == expected.getvalue()
 
 
+def test_two_process_efficiency_floor(tmp_path):
+    """Pin the scaling-efficiency DEFINITION and a regression floor.
+
+    Definition (docs/PERFORMANCE.md "Scaling"): efficiency at N procs =
+    (aggregate accumulate-phase reads/s) / (N x single-process reads/s),
+    accumulate phase only (jit warm-up and Gloo startup are per-process
+    fixed costs). On this repo's 2-core CI host the measured range is
+    0.60-0.77 run-to-run (oversubscription: each process runs a parse
+    thread + XLA worker threads); the floor asserted here is 0.25 —
+    far below the real range, high enough to catch structural
+    regressions like the dense-per-shard merge this round removed
+    (which pushed 2-proc throughput BELOW 1-proc, efficiency < 0.2).
+    BASELINE's >=0.80 target needs real multi-host hardware.
+    """
+    import re
+
+    gfa, gaf = write_micro(tmp_path)
+    big = tmp_path / "big.gaf"
+    data = open(gaf).read()
+    with open(big, "w") as fh:
+        for _ in range(20000):  # ~300k records
+            fh.write(data)
+
+    def accum(n):
+        out = tmp_path / f"eff_{n}.gfa"
+        errs = _run_procs(big, gfa, out, n)
+        times = [
+            float(m.group(1))
+            for err in errs
+            for m in [re.search(r"accumulate ([0-9.]+)s", err)]
+            if m
+        ]
+        assert times, errs[0][-2000:]
+        return max(times)
+
+    a1 = accum(1)
+    a2 = accum(2)
+    eff = a1 / (2 * a2)
+    assert eff >= 0.25, f"2-process accumulate efficiency collapsed: {eff:.2f}"
+
+
 def test_shard_ranges_cover_file(tmp_path):
     from pantas_tpu.parallel.distributed import shard_byte_ranges
 
