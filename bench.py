@@ -205,7 +205,7 @@ def bench_device(gfa, big, n_reads):
     else:
         times = {"default": [], "xla": []}
         impl = ""
-        for _ in range(2):
+        for _ in range(3):
             dt, i = run_once(force_cpu=False)
             if dt is not None:
                 times["default"].append(dt)
