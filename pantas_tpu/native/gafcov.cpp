@@ -21,6 +21,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <atomic>
 #include <memory>
 #include <mutex>
 #include <string>
@@ -773,10 +774,118 @@ void gafcov_novel_fill(void *h, uint64_t *keys, int32_t *vals) {
   }
 }
 
-// Emit the augmented GFA: copy gfa_in appending NC/IL/OL to S lines and RC
-// to L lines (byte-identical to the reference augmenter's output), then
-// novel links in first-seen order. out_fd is a writable file descriptor.
-int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
+// --- augmented-GFA emission ------------------------------------------------
+//
+// Copy gfa_in appending NC/IL/OL to S lines and RC to L lines
+// (byte-identical to the reference augmenter's output), then novel links in
+// first-seen order. Parallel formatting: the input splits into line-aligned
+// chunks processed by worker threads in waves, each chunk formatted into a
+// private buffer, buffers written in order — output bytes are identical to
+// the serial walk. The one piece of sequential state is the reference's
+// duplicate-L-line rule (only the FIRST occurrence of an edge prints its
+// weight): edges are claimed with an atomic fetch-or, and if any edge is
+// ever seen twice (never the case for well-formed GFAs) the whole emission
+// falls back to a single-threaded pass where file order is claim order.
+
+namespace {
+
+// format one GFA line (plus tags) into `o`; returns false on a duplicate
+// edge claim under multi-threading (caller falls back to serial)
+inline bool emit_line(Engine *E, const char *ls, const char *le,
+                      const std::vector<std::vector<int64_t>> &il_offs,
+                      const std::vector<std::vector<int64_t>> &ol_offs,
+                      uint8_t *claimed, bool atomic_claims, std::string &o) {
+  char tag[256];
+  if (le > ls && ls[0] == 'S') {
+    const char *p = ls + 1;
+    while (p < le && (*p == '\t' || *p == ' ')) ++p;
+    int64_t id = strtoll(p, nullptr, 10);
+    int64_t ni = E->node_index(id);
+    o.append(ls, le - ls);
+    int64_t nc = (ni >= 0) ? E->counts[ni] : 0;
+    int n = snprintf(tag, sizeof tag, "\tNC:i:%lld", (long long)nc);
+    o.append(tag, n);
+    if (ni >= 0 && !il_offs[ni].empty()) {
+      o.append("\tIL:Z:");
+      bool first = true;
+      for (int64_t off : il_offs[ni]) {
+        n = snprintf(tag, sizeof tag, "%s%lld.%d", first ? "" : ",",
+                     (long long)off, E->counts[E->il_base[ni] + off + 1]);
+        o.append(tag, n);
+        first = false;
+      }
+    }
+    if (ni >= 0 && !ol_offs[ni].empty()) {
+      o.append("\tOL:Z:");
+      bool first = true;
+      for (int64_t off : ol_offs[ni]) {
+        n = snprintf(tag, sizeof tag, "%s%lld.%d", first ? "" : ",",
+                     (long long)off, E->counts[E->ol_base[ni] + off + 1]);
+        o.append(tag, n);
+        first = false;
+      }
+    }
+    o.push_back('\n');
+  } else if (le > ls && ls[0] == 'L') {
+    if (le - ls == 1) {
+      // bare 'L' line is skipped by the reference
+    } else {
+      const char *p = ls + 1;
+      while (p < le && (*p == '\t' || *p == ' ')) ++p;
+      int64_t a = strtoll(p, nullptr, 10);
+      for (int f = 0; f < 2; ++f) {  // skip 2 fields (from orient)
+        while (p < le && *p != '\t' && *p != ' ') ++p;
+        while (p < le && (*p == '\t' || *p == ' ')) ++p;
+      }
+      int64_t b = strtoll(p, nullptr, 10);
+      int64_t ai = E->node_index(a), bi = E->node_index(b);
+      int32_t w = 0;
+      if (ai >= 0 && bi >= 0) {
+        int64_t slot = E->edge_slot(((uint64_t)ai << 32) | (uint64_t)bi);
+        if (slot >= 0) {
+          if (atomic_claims) {
+            uint8_t prev = __atomic_fetch_or(&claimed[slot], 1, __ATOMIC_RELAXED);
+            if (prev) return false;  // duplicate edge: serial fallback
+            w = E->counts[E->rc_base + slot];
+          } else if (!claimed[slot]) {
+            claimed[slot] = 1;
+            w = E->counts[E->rc_base + slot];
+          }
+        }
+      }
+      o.append(ls, le - ls);
+      int n = snprintf(tag, sizeof tag, "\tRC:i:%d\n", w);
+      o.append(tag, n);
+    }
+  } else {
+    o.append(ls, le - ls);
+    o.push_back('\n');
+  }
+  return true;
+}
+
+bool emit_range(Engine *E, const char *begin, const char *end, const char *hard_end,
+                const std::vector<std::vector<int64_t>> &il_offs,
+                const std::vector<std::vector<int64_t>> &ol_offs,
+                uint8_t *claimed, bool atomic_claims, std::string &o) {
+  o.reserve((size_t)((end - begin) * 1.1) + 64);
+  const char *p = begin;
+  while (p < end) {
+    const char *nl = (const char *)memchr(p, '\n', hard_end - p);
+    const char *le = nl ? nl : hard_end;
+    const char *ls = p;
+    while (le > ls && (le[-1] == '\r' || le[-1] == ' ' || le[-1] == '\t')) --le;
+    if (le > ls)
+      if (!emit_line(E, ls, le, il_offs, ol_offs, claimed, atomic_claims, o))
+        return false;
+    p = nl ? nl + 1 : hard_end;
+  }
+  return true;
+}
+
+}  // namespace
+
+int64_t gafcov_emit_mt(void *h, const char *gfa_in, int out_fd, int n_threads) {
   Engine *E = (Engine *)h;
   E->flush_bins();  // binned mode defers increments; drain before reading
   FILE *in = fopen(gfa_in, "rb");
@@ -786,10 +895,6 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
     fclose(in);
     return -2;
   }
-
-  // duplicate L lines: the reference pops the weight, so only the first
-  // occurrence of an edge prints its count
-  std::vector<uint8_t> edge_emitted(E->n_edges, 0);
 
   // per-node IL/OL offsets in first-seen order
   std::vector<std::vector<int64_t>> il_offs(E->n_nodes), ol_offs(E->n_nodes);
@@ -820,85 +925,66 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
   }
   buf[fsize] = '\n';
 
-  char tag[256];
-  {
-    size_t start = 0;
-    while (start < (size_t)fsize) {
-      char *nl = (char *)memchr(buf + start, '\n', fsize + 1 - start);
-      const char *ls = buf + start;
-      const char *le = nl;
-      // strip trailing whitespace like the reference's line.strip()
-      while (le > ls && (le[-1] == '\r' || le[-1] == ' ' || le[-1] == '\t')) --le;
-      if (le > ls && ls[0] == 'S') {
-        // S <tab> id <tab> seq ...
-        const char *p = ls + 1;
-        while (p < le && (*p == '\t' || *p == ' ')) ++p;
-        const char *q = p;
-        while (q < le && *q != '\t' && *q != ' ') ++q;
-        int64_t id = strtoll(p, nullptr, 10);
-        int64_t ni = E->node_index(id);
-        fwrite(ls, 1, le - ls, out);
-        int64_t nc = (ni >= 0) ? E->counts[ni] : 0;
-        int n = snprintf(tag, sizeof tag, "\tNC:i:%lld", (long long)nc);
-        fwrite(tag, 1, n, out);
-        if (ni >= 0 && !il_offs[ni].empty()) {
-          fputs("\tIL:Z:", out);
-          bool first = true;
-          for (int64_t off : il_offs[ni]) {
-            n = snprintf(tag, sizeof tag, "%s%lld.%d", first ? "" : ",",
-                         (long long)off, E->counts[E->il_base[ni] + off + 1]);
-            fwrite(tag, 1, n, out);
-            first = false;
-          }
-        }
-        if (ni >= 0 && !ol_offs[ni].empty()) {
-          fputs("\tOL:Z:", out);
-          bool first = true;
-          for (int64_t off : ol_offs[ni]) {
-            n = snprintf(tag, sizeof tag, "%s%lld.%d", first ? "" : ",",
-                         (long long)off, E->counts[E->ol_base[ni] + off + 1]);
-            fwrite(tag, 1, n, out);
-            first = false;
-          }
-        }
-        fputc('\n', out);
-      } else if (le > ls && ls[0] == 'L') {
-        if (le - ls == 1) {
-          // bare 'L' line is skipped by the reference
-        } else {
-          const char *p = ls + 1;
-          while (p < le && (*p == '\t' || *p == ' ')) ++p;
-          int64_t a = strtoll(p, nullptr, 10);
-          // skip 2 fields (from orient)
-          for (int f = 0; f < 2; ++f) {
-            while (p < le && *p != '\t' && *p != ' ') ++p;
-            while (p < le && (*p == '\t' || *p == ' ')) ++p;
-          }
-          int64_t b = strtoll(p, nullptr, 10);
-          int64_t ai = E->node_index(a), bi = E->node_index(b);
-          int32_t w = 0;
-          if (ai >= 0 && bi >= 0) {
-            int64_t slot = E->edge_slot(((uint64_t)ai << 32) | (uint64_t)bi);
-            if (slot >= 0 && !edge_emitted[slot]) {
-              w = E->counts[E->rc_base + slot];
-              edge_emitted[slot] = 1;
-            }
-          }
-          fwrite(ls, 1, le - ls, out);
-          int n = snprintf(tag, sizeof tag, "\tRC:i:%d\n", w);
-          fwrite(tag, 1, n, out);
-        }
-      } else {
-        fwrite(ls, 1, le - ls, out);
-        fputc('\n', out);
+  std::vector<uint8_t> claimed(E->n_edges, 0);
+  if (n_threads < 1) n_threads = 1;
+  // PANTAS_EMIT_FORCE_MT lets tests exercise the chunked path on tiny files
+  if (n_threads == 1 ||
+      (fsize < (8 << 20) && !getenv("PANTAS_EMIT_FORCE_MT"))) {
+    std::string o;
+    emit_range(E, buf, buf + fsize, buf + fsize + 1, il_offs, ol_offs,
+               claimed.data(), false, o);
+    fwrite(o.data(), 1, o.size(), out);
+  } else {
+    // line-aligned chunks formatted by a dynamic worklist of T threads;
+    // every buffer is formatted BEFORE any byte is written, so the
+    // duplicate-edge fallback can redo serially even when out_fd is a
+    // pipe (formatted output briefly holds ~1.05x the input in RAM)
+    const int64_t CHUNK = 64 << 20;
+    std::vector<const char *> cuts;
+    cuts.push_back(buf);
+    while (cuts.back() < buf + fsize) {
+      const char *guess = cuts.back() + std::min<int64_t>(CHUNK, buf + fsize - cuts.back());
+      if (guess >= buf + fsize) {
+        cuts.push_back(buf + fsize);
+        break;
       }
-      start = (nl - buf) + 1;
+      const char *nl = (const char *)memchr(guess, '\n', buf + fsize - guess);
+      cuts.push_back(nl ? nl + 1 : buf + fsize);
+    }
+    size_t n_chunks = cuts.size() - 1;
+    std::vector<std::string> bufs(n_chunks);
+    std::atomic<size_t> next{0};
+    std::atomic<bool> fail{false};
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; ++t) {
+      threads.emplace_back([&]() {
+        size_t c;
+        while ((c = next.fetch_add(1)) < n_chunks && !fail.load()) {
+          if (!emit_range(E, cuts[c], cuts[c + 1], buf + fsize + 1, il_offs,
+                          ol_offs, claimed.data(), true, bufs[c]))
+            fail.store(true);
+        }
+      });
+    }
+    for (auto &t : threads) t.join();
+    if (fail.load()) {
+      // duplicate L line: FILE order (not claim order) must decide which
+      // occurrence prints the weight — redo in one ordered pass
+      std::fill(claimed.begin(), claimed.end(), 0);
+      std::string o;
+      emit_range(E, buf, buf + fsize, buf + fsize + 1, il_offs, ol_offs,
+                 claimed.data(), false, o);
+      fwrite(o.data(), 1, o.size(), out);
+    } else {
+      for (size_t c = 0; c < n_chunks; ++c)
+        fwrite(bufs[c].data(), 1, bufs[c].size(), out);
     }
   }
   free(buf);
   fclose(in);
 
   // novel links in first-seen order
+  char tag[256];
   for (uint64_t key : E->novel_order) {
     int64_t a = E->ids ? E->ids[key >> 32] : (int64_t)(key >> 32) + 1;
     int64_t b = E->ids ? E->ids[key & 0xFFFFFFFFu] : (int64_t)(key & 0xFFFFFFFFu) + 1;
@@ -908,6 +994,13 @@ int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
   }
   fclose(out);
   return 0;
+}
+
+int64_t gafcov_emit(void *h, const char *gfa_in, int out_fd) {
+  int t = (int)std::thread::hardware_concurrency();
+  const char *env = getenv("PANTAS_EMIT_THREADS");
+  if (env && *env) t = atoi(env);
+  return gafcov_emit_mt(h, gfa_in, out_fd, t > 0 ? t : 1);
 }
 
 // test hook: force binned accumulation regardless of graph size, so the

@@ -187,7 +187,7 @@ def main():
                 f"map {tag}", f"map.{tag}.time",
                 [PY, "-m", "pantas_tpu", "map", str(gfa),
                  str(reads / f"{tag}_1.fq"), str(reads / f"{tag}_2.fq"),
-                 "--threads", "2"],
+                 "-t", "2"],
                 stdout_path=str(gaf) + ".tmp",
             )
             os.replace(str(gaf) + ".tmp", gaf)

@@ -64,3 +64,18 @@ def test_native_binned_matches_host_bytes(tmp_path, have_native, monkeypatch):
             gaf, gfa, out=buf, log=io.StringIO(), threads=threads
         )
         assert buf.getvalue() == host_buf.getvalue(), f"threads={threads}"
+
+
+def test_native_parallel_emit_matches_host_bytes(tmp_path, have_native, monkeypatch):
+    """The chunked multi-threaded emitter (auto-on above 8 MB of GFA) must
+    be byte-identical — forced on for the micro fixture via the test hook
+    (exercises the atomic edge claims + ordered buffer writes)."""
+    gfa, gaf = write_micro(tmp_path)
+    host_buf = io.StringIO()
+    augment_gfa(gaf, gfa, out=host_buf, log=io.StringIO())
+
+    monkeypatch.setenv("PANTAS_EMIT_FORCE_MT", "1")
+    monkeypatch.setenv("PANTAS_EMIT_THREADS", "2")
+    buf = io.StringIO()
+    native.augment_gfa_native(gaf, gfa, out=buf, log=io.StringIO(), threads=2)
+    assert buf.getvalue() == host_buf.getvalue()
