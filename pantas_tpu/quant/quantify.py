@@ -207,8 +207,28 @@ def same_event(a: QuantEvent, b: QuantEvent) -> bool:
     return a.canonic_j == b.canonic_j and a.event_j == b.event_j
 
 
+def _ev_key(ev: QuantEvent):
+    """Hashable identity under :func:`same_event` (pure equality on these
+    fields), so the reference's O(n²) linear scans (``quantify.py:263-272``)
+    become dict probes with IDENTICAL outcomes: stored events are deduped
+    by the same relation, so keys are unique and the reference's
+    at-most-one-match assertion can never fire either way. At 71k rows per
+    replicate (full-scale experiment) the quadratic scan ran for the
+    better part of an hour; the index is linear."""
+
+    def tup(x):
+        if isinstance(x, list):
+            return tuple(tup(i) for i in x)
+        return x
+
+    if ev.etype == "IR":
+        return (ev.chrom, ev.gene, tup(ev.event_j))
+    return (ev.chrom, ev.gene, tup(ev.canonic_j), tup(ev.event_j))
+
+
 def _load_condition(paths: Sequence[str], min_w: int) -> Dict[str, List[QuantEvent]]:
     events: Dict[str, List[QuantEvent]] = {x: [] for x in ETYPES}
+    index: Dict[str, Dict] = {x: {} for x in ETYPES}
     for i, fpath in enumerate(paths):
         for line in open(fpath):
             row = line.strip().split(",")
@@ -217,12 +237,12 @@ def _load_condition(paths: Sequence[str], min_w: int) -> Dict[str, List[QuantEve
             ev = event_from_row(row, i)
             if ev.canonic_cov < min_w or ev.event_cov < min_w:
                 continue
-            matches = [x for x in events[ev.etype] if same_event(ev, x)]
-            if matches:
-                assert len(matches) == 1
-                matches[0].set_replicate(i, ev.event_cov, ev.canonic_cov)
+            match = index[ev.etype].get(_ev_key(ev))
+            if match is not None:
+                match.set_replicate(i, ev.event_cov, ev.canonic_cov)
             else:
                 events[ev.etype].append(ev)
+                index[ev.etype][_ev_key(ev)] = ev
     return events
 
 
@@ -238,12 +258,18 @@ def quantify(
     def _gen():
         events_1 = _load_condition(c1_paths, min_w)
         events_2 = _load_condition(c2_paths, min_w)
+        idx_1 = {
+            et: {_ev_key(x): x for x in evs} for et, evs in events_1.items()
+        }
+        idx_2 = {
+            et: {_ev_key(x): x for x in evs} for et, evs in events_2.items()
+        }
         yield QUANT_HEADER
         for etype in ETYPES:
             for e1 in events_1[etype]:
-                matches = [x for x in events_2[etype] if same_event(e1, x)]
-                if matches:
-                    assert len(matches) == 1
+                match = idx_2[etype].get(_ev_key(e1))
+                if match is not None:
+                    matches = [match]
                     psi1 = e1.psi()
                     psi2 = matches[0].psi()
                     dpsi = max(0, psi1) - max(0, psi2)
@@ -275,8 +301,7 @@ def quantify(
                         )
             if not both:
                 for e2 in events_2[etype]:
-                    matches = [x for x in events_1[etype] if same_event(e2, x)]
-                    if not matches and not e2.psi() == -1:
+                    if _ev_key(e2) not in idx_1[etype] and not e2.psi() == -1:
                         psi1 = 1
                         dpsi = max(0, psi1) - max(0, e2.psi())
                         yield ",".join(
