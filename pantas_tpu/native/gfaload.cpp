@@ -743,6 +743,162 @@ static PyObject *gfaload_split_set(PyObject *, PyObject *args) {
     return out;
 }
 
+// ---------------------------------------------------------------------------
+// load_paths: the mapper's alignment-target paths, natively
+// (behavioral contract: mapping/mapper.py::load_alignment_paths — S seq
+// dict + P-line assembly, skipping haplotype transcript copies "_H<k>$")
+// ---------------------------------------------------------------------------
+
+static bool is_hap_copy(const char *name, Py_ssize_t n) {
+    // suffix match for _H\d+$ (at least one digit)
+    const char *e = name + n;
+    const char *p = e;
+    while (p > name && p[-1] >= '0' && p[-1] <= '9') --p;
+    if (p == e) return false;          // no digits at the end
+    if (p - name < 2) return false;    // room for "_H"
+    return p[-1] == 'H' && p[-2] == '_';
+}
+
+static PyObject *gfaload_load_paths(PyObject *, PyObject *args) {
+    const char *path;
+    if (!PyArg_ParseTuple(args, "s", &path)) return NULL;
+
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+    }
+    size_t size = (size_t)st.st_size;
+    const char *data = NULL;
+    if (size > 0) {
+        data = (const char *)mmap(NULL, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (data == MAP_FAILED) {
+            close(fd);
+            return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        }
+        madvise((void *)data, size, MADV_SEQUENTIAL);
+        madvise((void *)data, size, MADV_WILLNEED);
+    }
+    close(fd);
+
+    // pass 1 (GIL released): S-line id -> seq views, P-line views
+    struct PView {
+        const char *name;
+        Py_ssize_t name_len;
+        const char *steps;
+        Py_ssize_t steps_len;
+    };
+    std::unordered_map<std::string_view, std::string_view> seqs;
+    std::vector<PView> pviews;
+    Py_BEGIN_ALLOW_THREADS
+    const char *p = data;
+    const char *end = data + size;
+    while (p && p < end) {
+        const char *nl = (const char *)memchr(p, '\n', end - p);
+        const char *eol = nl ? nl : end;
+        if (*p == 'S' && p + 1 < eol && p[1] == '\t') {
+            const char *f = p + 2;
+            const char *t = next_tab(f, eol);
+            std::string_view id(f, t - f);
+            f = t < eol ? t + 1 : eol;
+            t = next_tab(f, eol);
+            seqs[id] = std::string_view(f, t - f);
+        } else if (*p == 'P' && p + 1 < eol && p[1] == '\t') {
+            const char *f = p + 2;
+            const char *t = next_tab(f, eol);
+            PView v;
+            v.name = f;
+            v.name_len = t - f;
+            f = t < eol ? t + 1 : eol;
+            t = next_tab(f, eol);
+            v.steps = f;
+            v.steps_len = t - f;
+            if (!is_hap_copy(v.name, v.name_len)) pviews.push_back(v);
+        }
+        p = nl ? nl + 1 : end;
+    }
+    Py_END_ALLOW_THREADS
+
+    // pass 2: build (name, nodes, offsets, seq) tuples; node-id strings
+    // are shared through a cache (paths revisit the same nodes heavily)
+    PyObject *out = PyList_New((Py_ssize_t)pviews.size());
+    std::unordered_map<std::string_view, PyObject *> node_cache;
+    bool fail = out == NULL;
+    for (size_t pi = 0; !fail && pi < pviews.size(); ++pi) {
+        const PView &v = pviews[pi];
+        // split steps, strip the trailing orientation char of each step
+        std::vector<std::string_view> nodes;
+        const char *sp = v.steps;
+        const char *se = v.steps + v.steps_len;
+        while (sp < se) {
+            const char *c = (const char *)memchr(sp, ',', se - sp);
+            const char *fe = c ? c : se;
+            if (fe > sp) nodes.emplace_back(sp, (size_t)(fe - sp - 1));
+            sp = c ? c + 1 : se;
+        }
+        Py_ssize_t total = 0;
+        for (auto &nd : nodes) {
+            auto it = seqs.find(nd);
+            if (it == seqs.end()) {
+                PyErr_Format(PyExc_KeyError, "P line references unknown segment");
+                fail = true;
+                break;
+            }
+            total += (Py_ssize_t)it->second.size();
+        }
+        if (fail) break;
+        PyObject *name = PyUnicode_FromStringAndSize(v.name, v.name_len);
+        PyObject *nlist = PyList_New((Py_ssize_t)nodes.size());
+        PyObject *olist = PyList_New((Py_ssize_t)nodes.size());
+        PyObject *seq = PyUnicode_New(total, 127);  // GFA seqs are ASCII
+        if (!name || !nlist || !olist || !seq) {
+            Py_XDECREF(name); Py_XDECREF(nlist); Py_XDECREF(olist); Py_XDECREF(seq);
+            fail = true;
+            break;
+        }
+        char *w = (char *)PyUnicode_DATA(seq);
+        Py_ssize_t off = 0;
+        for (size_t i = 0; i < nodes.size() && !fail; ++i) {
+            auto &nd = nodes[i];
+            PyObject *ns;
+            auto cit = node_cache.find(nd);
+            if (cit != node_cache.end()) {
+                ns = cit->second;
+                Py_INCREF(ns);
+            } else {
+                ns = PyUnicode_FromStringAndSize(nd.data(), (Py_ssize_t)nd.size());
+                if (!ns) { fail = true; break; }
+                Py_INCREF(ns);
+                node_cache.emplace(nd, ns);  // cache holds one ref
+            }
+            PyList_SET_ITEM(nlist, (Py_ssize_t)i, ns);
+            PyObject *ov = PyLong_FromSsize_t(off);
+            if (!ov) { fail = true; break; }
+            PyList_SET_ITEM(olist, (Py_ssize_t)i, ov);
+            const std::string_view &sv = seqs[nd];
+            memcpy(w + off, sv.data(), sv.size());
+            off += (Py_ssize_t)sv.size();
+        }
+        if (fail) {
+            Py_DECREF(name); Py_DECREF(nlist); Py_DECREF(olist); Py_DECREF(seq);
+            break;
+        }
+        PyObject *tup = PyTuple_Pack(4, name, nlist, olist, seq);
+        Py_DECREF(name); Py_DECREF(nlist); Py_DECREF(olist); Py_DECREF(seq);
+        if (!tup) { fail = true; break; }
+        PyList_SET_ITEM(out, (Py_ssize_t)pi, tup);
+    }
+    for (auto &kv : node_cache) Py_DECREF(kv.second);
+    if (data) munmap((void *)data, size);
+    if (fail) {
+        Py_XDECREF(out);
+        return NULL;
+    }
+    return out;
+}
+
 static PyMethodDef gfaload_methods[] = {
     {"load", gfaload_load, METH_VARARGS,
      "load(path) -> (seg, link, junctions, novel_junctions, j_by_head, "
@@ -753,6 +909,9 @@ static PyMethodDef gfaload_methods[] = {
      "jn_tkeys(jn_raw) -> set of transcript keys"},
     {"split_set", gfaload_split_set, METH_VARARGS,
      "split_set(raw) -> set of comma-separated items"},
+    {"load_paths", gfaload_load_paths, METH_VARARGS,
+     "load_paths(path) -> [(name, nodes, offsets, seq)] for non-haplotype "
+     "paths (mapper alignment targets)"},
     {NULL, NULL, 0, NULL},
 };
 
