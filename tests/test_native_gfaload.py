@@ -100,3 +100,42 @@ def test_seg_link_types_constructible():
     assert s.length == 7 and s.nc is None and s.incoming == [] and s.outgoing == []
     li = ext.Link(5, True)
     assert li.rc == 5 and li.novel is True and li.jn == []
+
+
+def test_load_paths_matches_python_loader(tmp_path):
+    """Native load_paths vs the pure-Python load_alignment_paths loop:
+    identical records (name/nodes/offsets/seq), haplotype copies
+    (_H<k> suffix) excluded by both."""
+    gfa = tmp_path / "t.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tACGT\n"
+        "S\t2\tGG\n"
+        "S\t3\tTTTAA\n"
+        "L\t1\t+\t2\t+\t*\n"
+        "P\tTX1_R1\t1+,2+,3+\t*\n"
+        "P\tTX1_H1\t1+,3+\t*\n"       # haplotype copy: excluded
+        "P\tchr_4_part\t2+,3+\t*\n"   # '_' in name but not _H<k>: kept
+        "P\tTX2_H\t1+,2+\t*\n"        # _H with no digits: kept
+    )
+    from pantas_tpu.mapping import mapper
+    from pantas_tpu.native.gfaload import get_module
+
+    native = [
+        (n, nodes, offs, seq)
+        for n, nodes, offs, seq in get_module().load_paths(str(gfa))
+    ]
+    import pantas_tpu.native.gfaload as G
+
+    orig = G.get_module
+    G.get_module = lambda: (_ for _ in ()).throw(RuntimeError("off"))
+    try:
+        python = [
+            (r.name, r.nodes, r.offsets, r.seq)
+            for r in mapper.load_alignment_paths(str(gfa))
+        ]
+    finally:
+        G.get_module = orig
+    assert native == python
+    assert [n for n, *_ in native] == ["TX1_R1", "chr_4_part", "TX2_H"]
+    assert native[0][3] == "ACGTGGTTTAA" and native[0][2] == [0, 4, 6]

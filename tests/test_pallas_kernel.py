@@ -73,3 +73,45 @@ def test_pick_scatter_impl_returns_working_fn():
     out = np.asarray(fn(jnp.zeros((1 << 12,), jnp.int32), jnp.asarray(idx_np)))
     expect = np.bincount(idx_np[idx_np >= 0], minlength=1 << 12).astype(np.int32)
     assert np.array_equal(out, expect)
+
+
+def test_decide_projection_logic():
+    """The deployment decision minimizes PROJECTED stage cost, not step
+    rate: a faster-stepping impl with a huge fixed (compile/reload) cost
+    must lose at small batch counts and win once batches amortize it."""
+    from pantas_tpu.coverage.pallas_kernel import _decide
+
+    stats = {
+        "xla": {"first_s": 0.1, "times": [0.037, 0.036, 0.037]},
+        "pallas-sorted": {"first_s": 60.0, "times": [0.028, 0.029, 0.028]},
+    }
+    # 23-batch panel stage: 60 s of fixed cost can never pay back 8 ms/batch
+    assert _decide(stats, 23) == "xla"
+    # ~10k batches: the step advantage amortizes the compile
+    assert _decide(stats, 10_000) == "pallas-sorted"
+    # no hint: pure step rate (the kernel-bench view)
+    assert _decide(stats, None) == "pallas-sorted"
+
+
+def test_pick_scatter_endtoend_persists_verdict(tmp_path, monkeypatch):
+    """On CPU only XLA verifies; the verdict persists next to the compile
+    cache and a second call decides from the stored stats."""
+    import json
+
+    from pantas_tpu.coverage import pallas_kernel as pk
+
+    monkeypatch.setenv("PANTAS_JAX_CACHE", str(tmp_path))
+    name, fn = pk.pick_scatter_endtoend(1 << 12, 256, batches_hint=8)
+    assert name == "xla"
+    vf = tmp_path / "scatter_verdict.json"
+    data = json.loads(vf.read_text())
+    (key,) = [k for k in data if k.endswith(":v2")]
+    assert data[key]["stats"]["xla"]["times"]
+    # cached decision path (no fresh measurement needed)
+    name2, fn2 = pk.pick_scatter_endtoend(1 << 12, 256, batches_hint=8)
+    assert name2 == "xla"
+    import numpy as np
+
+    out = np.asarray(fn2(__import__("jax").numpy.zeros(1 << 12, "int32"),
+                         __import__("jax").numpy.arange(256, dtype="int32")))
+    assert out[:256].sum() == 256
