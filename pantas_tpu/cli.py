@@ -72,6 +72,15 @@ def _cmd_augment(argv):
         help="device engine mesh: N (data-parallel over N devices) or DxK "
         "(D data shards x K node-axis count shards)",
     )
+    ap.add_argument(
+        "--checkpoint", default=None, metavar="FILE",
+        help="device engines: persist counts + parse offset atomically "
+        "(resume with --resume)",
+    )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="continue from an existing --checkpoint file",
+    )
     args = ap.parse_args(argv)
     args.thr = args.mapq if args.thr is None else args.thr
 
@@ -109,7 +118,9 @@ def _cmd_augment(argv):
         if engine == "device":
             try:
                 augment_gfa_device_native(
-                    args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr, mesh=mesh
+                    args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr,
+                    mesh=mesh, checkpoint_path=args.checkpoint,
+                    resume=args.resume,
                 )
                 return 0
             except Exception as e:
@@ -118,7 +129,10 @@ def _cmd_augment(argv):
                     "python tokenizer fallback",
                     file=sys.stderr,
                 )
-        augment_gfa_device(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr, mesh=mesh)
+        augment_gfa_device(
+            args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr, mesh=mesh,
+            checkpoint_path=args.checkpoint, resume=args.resume,
+        )
         return 0
     from pantas_tpu.coverage import augment_gfa
 

@@ -368,6 +368,27 @@ def _estimate_batches(gaf_path: str, flush_every: int) -> int:
     return max(1, int(size * 23 / (160 * flush_every)))
 
 
+def _save_native_checkpoint(path, dev, eng, tensors, offset, base_sidecars):
+    """Atomic checkpoint of the native-fed device stage: the device counts
+    (sparse-read, length ``total_slots``), the GAF byte offset of the next
+    unparsed record, and the engine's first-seen sidecar (absolute byte
+    positions) chained after any sidecars inherited from prior resumes."""
+    import pickle
+
+    from pantas_tpu.parallel.distributed import _native_sidecar
+
+    state = {
+        "total_slots": tensors.total_slots,
+        "counts": dev._read_back(dev.counts),
+        "offset": int(offset),
+        "sidecars": list(base_sidecars) + [_native_sidecar(tensors, eng)],
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump(state, fh)
+    os.replace(tmp, path)
+
+
 def augment_gfa_device_native(
     gaf_path: str,
     gfa_path: str,
@@ -377,6 +398,10 @@ def augment_gfa_device_native(
     flush_every: int = 1 << 20,
     log=sys.stderr,
     tensors: Optional[GraphTensors] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 8,  # batches between checkpoints
+    resume: bool = False,
+    _stop_after: Optional[int] = None,  # test hook: simulate interruption
 ) -> CoverageCounts:
     """Augment with the native parser feeding the device scatter-add.
 
@@ -388,6 +413,15 @@ def augment_gfa_device_native(
     device accumulate). First-seen orders stay on the native engine, and the
     device-reduced counts vector is copied back into it for byte-identical
     emission, so the device result is load-bearing for every printed count.
+
+    Elastic recovery (SURVEY §5): with ``checkpoint_path`` the device
+    counts + parse offset + first-seen sidecar persist atomically every
+    ``checkpoint_every`` batches (the parser's pending residual is drained
+    to the device first, so (offset, counts) is consistent); ``resume``
+    continues from the saved offset — accumulation is pure integer adds,
+    so the result is identical to the uninterrupted run. Resumed runs emit
+    through the sidecar-merge path (the same machinery the multi-process
+    shards use), non-resumed runs keep the native fast emit.
 
     Raises if the native engine is unavailable or the graph has
     non-canonical segment ids — callers fall back to
@@ -404,9 +438,31 @@ def augment_gfa_device_native(
         tensors, mesh=mesh, batches_hint=_estimate_batches(gaf_path, flush_every)
     )
 
+    if checkpoint_path and mesh is not None:
+        raise ValueError("checkpointing supports the single-chip path only")
+    start_offset = 0
+    base_sidecars: list = []
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        import pickle
+
+        with open(checkpoint_path, "rb") as fh:
+            state = pickle.load(fh)
+        if state.get("total_slots") != tensors.total_slots:
+            raise ValueError(
+                "checkpoint does not match this graph "
+                f"(slots {state.get('total_slots')} != {tensors.total_slots})"
+            )
+        restored = np.zeros(dev._padded_slots, dtype=np.int32)
+        restored[: tensors.total_slots] = state["counts"]
+        dev.counts = dev._jnp.asarray(restored)
+        start_offset = state["offset"]
+        base_sidecars = state["sidecars"]
+        print(f"Resuming from checkpoint at offset {start_offset}", file=log)
+
     print("Augmentation by GAF alignments (native parse -> device)", file=log)
-    sess = eng.slots_begin(gaf_path, 0, -1, mapq_thr)
+    sess = eng.slots_begin(gaf_path, start_offset, -1, mapq_thr)
     try:
+        batches = 0
         while True:
             buf = np.empty(flush_every, dtype=np.int32)
             n = eng.slots_next(sess, buf)
@@ -415,9 +471,46 @@ def augment_gfa_device_native(
             if n < flush_every:
                 buf[n:] = -1  # pad the final partial batch
             dev.add_slots(buf, pad_to=flush_every)
+            batches += 1
+            if checkpoint_path and batches % max(checkpoint_every, 1) == 0:
+                # drain the parser's residual so (offset, counts) agree
+                pend = np.empty(flush_every, dtype=np.int32)
+                np_ = eng.slots_take_pending(sess, pend)
+                if np_:
+                    pend[np_:] = -1
+                    dev.add_slots(pend, pad_to=flush_every)
+                _save_native_checkpoint(
+                    checkpoint_path, dev, eng, tensors,
+                    eng.slots_pos(sess), base_sidecars,
+                )
+                if _stop_after is not None and batches >= _stop_after:
+                    return None  # test hook: simulate a crash after a save
         flat = dev.result()
     finally:
         eng.slots_end(sess)
+    if checkpoint_path:
+        _save_native_checkpoint(
+            checkpoint_path, dev, eng, tensors,
+            os.path.getsize(gaf_path), base_sidecars,
+        )
+
+    if base_sidecars:
+        # resumed run: rebuild the GLOBAL first-seen orders by merging the
+        # pre-interruption sidecar with this run's (same machinery as the
+        # multi-process shard merge), then emit via the encoder path
+        from pantas_tpu.parallel.distributed import (
+            _merge_sidecars,
+            _native_sidecar,
+        )
+
+        enc = _merge_sidecars(
+            tensors, base_sidecars + [_native_sidecar(tensors, eng)]
+        )
+        counts = counts_from_device(tensors, enc, flat)
+        print(f"Rejected alignments: {counts.rejected}", file=log)
+        print("Annotating GFA", file=log)
+        emit_augmented_gfa(gfa_path, counts, out)
+        return counts
 
     eng.set_counts(flat)  # device-reduced values back the emission
     print(f"Rejected alignments: {int(eng.lib.gafcov_rejected(eng.handle))}", file=log)

@@ -1097,6 +1097,27 @@ int64_t gafcov_slots_next(void *s, int32_t *buf, int64_t cap) {
   return n;
 }
 
+// current parse position (absolute byte offset) — a valid resume point
+// once the pending residual has been drained (gafcov_slots_take_pending)
+int64_t gafcov_slots_pos(void *s) {
+  SlotSession *S = (SlotSession *)s;
+  return S->data ? (int64_t)(S->p - S->data) : 0;
+}
+
+// drain slots already parsed but not yet delivered (no further parsing) —
+// the residual a checkpoint must flush so that (pos, counts) is consistent
+int64_t gafcov_slots_take_pending(void *s, int32_t *buf, int64_t cap) {
+  SlotSession *S = (SlotSession *)s;
+  Engine &E = *S->E;
+  int64_t n = (int64_t)E.slot_stream.size();
+  if (n > cap) n = cap;
+  if (n) {
+    memcpy(buf, E.slot_stream.data(), n * sizeof(int32_t));
+    E.slot_stream.erase(E.slot_stream.begin(), E.slot_stream.begin() + n);
+  }
+  return n;
+}
+
 void gafcov_slots_end(void *s) {
   SlotSession *S = (SlotSession *)s;
   S->E->collect_slots = false;

@@ -103,6 +103,10 @@ def _load():
     lib.gafcov_slots_next.argtypes = [ctypes.c_void_p, P(i32), i64]
     lib.gafcov_slots_end.restype = None
     lib.gafcov_slots_end.argtypes = [ctypes.c_void_p]
+    lib.gafcov_slots_pos.restype = i64
+    lib.gafcov_slots_pos.argtypes = [ctypes.c_void_p]
+    lib.gafcov_slots_take_pending.restype = i64
+    lib.gafcov_slots_take_pending.argtypes = [ctypes.c_void_p, P(i32), i64]
     lib.gafcov_counts_set.restype = None
     lib.gafcov_counts_set.argtypes = [ctypes.c_void_p, P(i32)]
     lib.gafcov_seen_pos.restype = P(i64)
@@ -344,6 +348,18 @@ class NativeCoverage:
 
     def slots_end(self, session) -> None:
         self.lib.gafcov_slots_end(session)
+
+    def slots_pos(self, session) -> int:
+        """Absolute byte offset of the next unparsed record."""
+        return int(self.lib.gafcov_slots_pos(session))
+
+    def slots_take_pending(self, session, buf: np.ndarray) -> int:
+        """Drain already-parsed-but-undelivered slots (no further parsing)."""
+        return int(
+            self.lib.gafcov_slots_take_pending(
+                session, _ptr(buf, ctypes.c_int32), len(buf)
+            )
+        )
 
     def set_counts(self, flat: np.ndarray) -> None:
         """Overwrite engine counts with the device-reduced vector (it then

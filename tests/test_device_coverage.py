@@ -169,3 +169,47 @@ def test_checkpoint_resume_reproduces_one_shot(tmp_path):
     )
     assert "Resuming from checkpoint" in log2.getvalue()
     assert buf2.getvalue() == one_shot
+
+
+def test_native_checkpoint_resume_byte_identical(tmp_path):
+    """Elastic recovery on the PRODUCTION native-fed device path: interrupt
+    after a saved batch (test hook), resume from the checkpoint, and the
+    emission must be byte-identical to the uninterrupted host run — counts
+    restore exactly (pure adds) and the first-seen IL/OL + novel orders
+    rebuild through the sidecar merge (absolute byte positions)."""
+    import os
+
+    from pantas_tpu.coverage.device import augment_gfa_device_native
+
+    gfa, gaf = write_micro(tmp_path)
+    big = tmp_path / "big.gaf"
+    data = open(gaf).read()
+    with open(big, "w") as fh:
+        for _ in range(50):
+            fh.write(data)
+    expected = io.StringIO()
+    augment_gfa(str(big), str(gfa), out=expected, log=io.StringIO())
+
+    ck = str(tmp_path / "ck.pkl")
+    r = augment_gfa_device_native(
+        str(big), str(gfa), out=io.StringIO(), flush_every=64,
+        checkpoint_path=ck, checkpoint_every=1, _stop_after=1,
+        log=io.StringIO(),
+    )
+    assert r is None and os.path.exists(ck)
+
+    buf = io.StringIO()
+    augment_gfa_device_native(
+        str(big), str(gfa), out=buf, flush_every=64,
+        checkpoint_path=ck, resume=True, log=io.StringIO(),
+    )
+    assert buf.getvalue() == expected.getvalue()
+
+    # uninterrupted run with checkpointing enabled stays identical too
+    buf2 = io.StringIO()
+    augment_gfa_device_native(
+        str(big), str(gfa), out=buf2, flush_every=64,
+        checkpoint_path=str(tmp_path / "ck2.pkl"), checkpoint_every=2,
+        log=io.StringIO(),
+    )
+    assert buf2.getvalue() == expected.getvalue()
