@@ -232,12 +232,49 @@ def bench_device(gfa, big, n_reads):
     return None
 
 
+def bench_genome_augment():
+    """Secondary metric (stderr): native augment at genome scale (236M
+    count slots — the binned shared-counts regime). Runs only when the
+    100 Mbp stress graph is already cached (scripts/bench_call_scale.py
+    builds it); parse+accumulate phase, best of 2."""
+    gfa = CACHE / "stress100m" / "out" / "pantranscriptome-annotated.gfa"
+    gaf = CACHE / "stress100m" / "reads1m.gaf"
+    if not (gfa.exists() and gaf.exists()):
+        log("genome-scale augment: cached 100 Mbp workload absent; skipped")
+        return
+    import io
+
+    from pantas_tpu.graph.compiler import compile_gfa
+    from pantas_tpu.native.gafcov import NativeCoverage
+
+    t0 = time.time()
+    tensors = compile_gfa(str(gfa))
+    log(f"genome tensorize {time.time() - t0:.1f}s ({tensors.total_slots} slots)")
+    n_reads = sum(1 for _ in open(gaf))
+    best = None
+    for i in range(2):
+        eng = NativeCoverage(tensors)
+        t0 = time.time()
+        eng.process_file(str(gaf), threads=os.cpu_count() or 1)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        del eng
+    log(
+        f"genome-scale augment (5.5M nodes, binned, {os.cpu_count()} threads): "
+        f"{n_reads} reads in {best:.2f}s = {n_reads / best:.0f} reads/s"
+    )
+
+
 def main():
     gfa, big, n_reads = ensure_workload()
     try:
         bench_call(gfa)
     except Exception as e:
         log(f"call bench skipped: {e}")
+    try:
+        bench_genome_augment()
+    except Exception as e:
+        log(f"genome augment bench skipped: {e}")
     try:
         bench_device(gfa, big, n_reads)
     except Exception as e:
