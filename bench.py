@@ -222,6 +222,13 @@ def bench_device(gfa, big, n_reads):
                     f"{label}{sel} scatter-add): {n_reads / med:.0f} reads/s "
                     f"(median of {len(ts)}, runs={[round(t, 2) for t in ts]})"
                 )
+        if impl == "xla":
+            log(
+                "note: the projection-based default selected xla, so the "
+                "default and xla-forced configurations execute the IDENTICAL "
+                "step — any delta between the two lines is tunnel run-to-run "
+                "variance, not a kernel effect (see docs/PERFORMANCE.md)"
+            )
     cpu, _ = run_once(force_cpu=True)
     if cpu is not None:
         log(
