@@ -377,12 +377,19 @@ def _save_native_checkpoint(path, dev, eng, tensors, offset, base_sidecars):
 
     from pantas_tpu.parallel.distributed import _native_sidecar
 
+    flat = dev._read_back(dev.counts)
     state = {
         "total_slots": tensors.total_slots,
-        "counts": dev._read_back(dev.counts),
         "offset": int(offset),
         "sidecars": list(base_sidecars) + [_native_sidecar(tensors, eng)],
     }
+    nz = np.nonzero(flat)[0]
+    if len(nz) * 3 < len(flat):
+        # sparse checkpoint: a genome-scale dense counts vector is ~1 GB
+        # per save; coverage is sparse, so (indices, values) is ~100x less
+        state["counts_nz"] = (nz.astype(np.int64), flat[nz])
+    else:
+        state["counts"] = flat
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         pickle.dump(state, fh)
@@ -453,7 +460,11 @@ def augment_gfa_device_native(
                 f"(slots {state.get('total_slots')} != {tensors.total_slots})"
             )
         restored = np.zeros(dev._padded_slots, dtype=np.int32)
-        restored[: tensors.total_slots] = state["counts"]
+        if "counts_nz" in state:
+            idx, vals = state["counts_nz"]
+            restored[idx] = vals
+        else:
+            restored[: tensors.total_slots] = state["counts"]
         dev.counts = dev._jnp.asarray(restored)
         start_offset = state["offset"]
         base_sidecars = state["sidecars"]
