@@ -484,10 +484,11 @@ def augment_gfa_device_native(
             dev.add_slots(buf, pad_to=flush_every)
             batches += 1
             if checkpoint_path and batches % max(checkpoint_every, 1) == 0:
-                # drain the parser's residual so (offset, counts) agree
+                # drain the parser's residual so (offset, counts) agree —
+                # a single record can yield more slots than flush_every
+                # (very long alignments / tiny batches), so loop to zero
                 pend = np.empty(flush_every, dtype=np.int32)
-                np_ = eng.slots_take_pending(sess, pend)
-                if np_:
+                while (np_ := eng.slots_take_pending(sess, pend)):
                     pend[np_:] = -1
                     dev.add_slots(pend, pad_to=flush_every)
                 _save_native_checkpoint(

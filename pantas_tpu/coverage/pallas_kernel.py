@@ -321,7 +321,19 @@ def pick_scatter_endtoend(
             for k, v in verdict[key]["stats"].items()
             if k in SCATTER_IMPLS and v["times"]
         }
-        if stats:
+        # A verdict recorded when exploration was skipped holds only xla
+        # stats; if THIS stage is big enough that its projected scatter
+        # cost could pay for the Pallas compile, the cached xla-only entry
+        # must not short-circuit the exploration forever (ADVICE r4) —
+        # fall through and re-run the race.
+        unexplored_big_stage = (
+            "pallas-sorted" not in stats
+            and "xla" in stats
+            and batches_hint is not None
+            and batches_hint * statistics.median(stats["xla"]["times"])
+            >= EXPLORE_BUDGET_S
+        )
+        if stats and not unexplored_big_stage:
             name = _decide(stats, batches_hint)
             return name, jit_scatter(name)
 

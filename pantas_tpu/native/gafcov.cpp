@@ -1197,8 +1197,12 @@ void kidx_sort(uint64_t *kmers, int32_t *pids, int32_t *poss, int64_t n) {
   // read computes every pass's histogram up front
   constexpr int DB = 11;
   constexpr int64_t NB = 1 << DB;
-  constexpr int NPASS = 4;  // 44 bits >= the 42 bits of a 2-bit 21-mer
-  static_assert(NPASS * DB >= 42, "digit plan must cover the key width");
+  // kidx_pack emits up to 64-bit keys (k<=32), so the plan must cover the
+  // full width: 6 passes x 11 bits = 66 bits. The maxk early-break below
+  // skips the empty high passes, so the common 2-bit 21-mer (42 bits) still
+  // runs only 4 passes.
+  constexpr int NPASS = 6;
+  static_assert(NPASS * DB >= 64, "digit plan must cover the key width");
   std::vector<int64_t> cnt(NPASS * NB, 0);
   uint64_t maxk = 1;
   for (int64_t i = 0; i < n; ++i) {

@@ -783,14 +783,22 @@ static PyObject *gfaload_load_paths(PyObject *, PyObject *args) {
     }
     close(fd);
 
-    // pass 1 (GIL released): S-line id -> seq views, P-line views
+    // pass 1 (GIL released): S-line id -> seq views, P-line views.
+    // Byte offsets are kept for both so pass 2 can match the Python
+    // loop's ordering semantics (a P line before its S line is a
+    // KeyError there) instead of silently accepting it.
     struct PView {
         const char *name;
         Py_ssize_t name_len;
         const char *steps;
         Py_ssize_t steps_len;
+        const char *line;  // ordering vs S lines
     };
-    std::unordered_map<std::string_view, std::string_view> seqs;
+    struct SView {
+        std::string_view sv;
+        const char *line;
+    };
+    std::unordered_map<std::string_view, SView> seqs;
     std::vector<PView> pviews;
     Py_BEGIN_ALLOW_THREADS
     const char *p = data;
@@ -802,9 +810,10 @@ static PyObject *gfaload_load_paths(PyObject *, PyObject *args) {
             const char *f = p + 2;
             const char *t = next_tab(f, eol);
             std::string_view id(f, t - f);
+            const char *ls = p;
             f = t < eol ? t + 1 : eol;
             t = next_tab(f, eol);
-            seqs[id] = std::string_view(f, t - f);
+            seqs[id] = SView{std::string_view(f, t - f), ls};
         } else if (*p == 'P' && p + 1 < eol && p[1] == '\t') {
             const char *f = p + 2;
             const char *t = next_tab(f, eol);
@@ -815,6 +824,7 @@ static PyObject *gfaload_load_paths(PyObject *, PyObject *args) {
             t = next_tab(f, eol);
             v.steps = f;
             v.steps_len = t - f;
+            v.line = p;
             if (!is_hap_copy(v.name, v.name_len)) pviews.push_back(v);
         }
         p = nl ? nl + 1 : end;
@@ -841,12 +851,15 @@ static PyObject *gfaload_load_paths(PyObject *, PyObject *args) {
         Py_ssize_t total = 0;
         for (auto &nd : nodes) {
             auto it = seqs.find(nd);
-            if (it == seqs.end()) {
+            if (it == seqs.end() || it->second.line > v.line) {
+                // unknown segment, or the S line follows the P line: the
+                // single-pass Python loop raises KeyError here — raise so
+                // the caller falls back to it (identical semantics)
                 PyErr_Format(PyExc_KeyError, "P line references unknown segment");
                 fail = true;
                 break;
             }
-            total += (Py_ssize_t)it->second.size();
+            total += (Py_ssize_t)it->second.sv.size();
         }
         if (fail) break;
         PyObject *name = PyUnicode_FromStringAndSize(v.name, v.name_len);
@@ -877,7 +890,20 @@ static PyObject *gfaload_load_paths(PyObject *, PyObject *args) {
             PyObject *ov = PyLong_FromSsize_t(off);
             if (!ov) { fail = true; break; }
             PyList_SET_ITEM(olist, (Py_ssize_t)i, ov);
-            const std::string_view &sv = seqs[nd];
+            const std::string_view &sv = seqs[nd].sv;
+            // validate before handing bytes to a PyUnicode_New(.., 127)
+            // buffer: any byte >0x7F would make an invalid ASCII str
+            // (interpreter UB); raise instead and let the caller fall
+            // back to the Python loop (defined text decoding)
+            for (size_t b = 0; b < sv.size(); ++b) {
+                if ((unsigned char)sv[b] > 0x7F) {
+                    PyErr_Format(PyExc_ValueError,
+                                 "non-ASCII byte in segment sequence");
+                    fail = true;
+                    break;
+                }
+            }
+            if (fail) break;
             memcpy(w + off, sv.data(), sv.size());
             off += (Py_ssize_t)sv.size();
         }

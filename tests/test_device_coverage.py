@@ -213,3 +213,101 @@ def test_native_checkpoint_resume_byte_identical(tmp_path):
         log=io.StringIO(),
     )
     assert buf2.getvalue() == expected.getvalue()
+
+
+def _ckpt_resume_roundtrip(tmp_path, gfa, gaf, flush_every, tag):
+    """Interrupt after the first checkpoint, resume, return
+    (saved_state, resumed_emission, resumed_log)."""
+    import os
+    import pickle
+
+    from pantas_tpu.coverage.device import augment_gfa_device_native
+
+    ck = str(tmp_path / f"ck_{tag}.pkl")
+    r = augment_gfa_device_native(
+        str(gaf), str(gfa), out=io.StringIO(), flush_every=flush_every,
+        checkpoint_path=ck, checkpoint_every=1, _stop_after=1,
+        log=io.StringIO(),
+    )
+    assert r is None and os.path.exists(ck)
+    with open(ck, "rb") as fh:
+        state = pickle.load(fh)
+    buf, log = io.StringIO(), io.StringIO()
+    augment_gfa_device_native(
+        str(gaf), str(gfa), out=buf, flush_every=flush_every,
+        checkpoint_path=ck, resume=True, log=log,
+    )
+    return state, buf.getvalue(), log.getvalue()
+
+
+def test_checkpoint_sparse_branch_resume(tmp_path):
+    """The SPARSE counts encoding (counts_nz) must round-trip through
+    save -> interrupt -> resume -> byte-identical emission. The micro
+    fixture is naturally sparse (21 nz of 95 slots) — assert the branch
+    actually taken so a layout change can't silently de-pin this test."""
+    gfa, gaf = write_micro(tmp_path)
+    big = tmp_path / "big.gaf"
+    big.write_text(open(gaf).read() * 20)
+    expected = io.StringIO()
+    augment_gfa(str(big), str(gfa), out=expected, log=io.StringIO())
+
+    state, got, log = _ckpt_resume_roundtrip(tmp_path, gfa, big, 64, "sparse")
+    assert "counts_nz" in state and "counts" not in state
+    assert got == expected.getvalue()
+    # counters must report the FULL run on resume (sidecar merge sums them)
+    assert "Rejected alignments: 20" in log  # 1 mapq-reject x 20 copies
+
+
+def test_checkpoint_dense_branch_resume(tmp_path):
+    """The DENSE counts encoding must round-trip identically. A 2-node
+    graph with reads entering/leaving at every offset drives nnz*3 past
+    the slot count, forcing the dense branch of _save_native_checkpoint."""
+    gfa = tmp_path / "dense.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.1\n"
+        "S\t1\tACGT\n"
+        "S\t2\tACGT\n"
+        "L\t1\t+\t2\t+\t*\n"
+    )
+    # IL/OL histogram slots key on TRANSITION offsets, so deletions that
+    # end node 1 / start node 2 at varying offsets are what densify the
+    # slot space (11 nz of 27 -> the dense branch)
+    lines = []
+
+    def add(name, cs, matches):
+        lines.append(
+            f"{name}\t{matches}\t0\t{matches}\t+\t>1>2\t8\t0\t8"
+            f"\t{matches}\t8\t60\tcs:Z:{cs}\tdv:f:0.0"
+        )
+
+    add("p", ":8", 8)
+    add("d1", ":3-t:4", 7)
+    add("d2", ":2-gt:4", 6)
+    add("d3", ":1-cgt:4", 5)
+    add("e1", ":4-a:3", 7)
+    add("e2", ":4-ac:2", 6)
+    add("e3", ":4-acg:1", 5)
+    lines.append("rv\t8\t0\t8\t+\t<2<1\t8\t0\t8\t8\t8\t60\tcs:Z::8\tdv:f:0.0")
+    gaf = tmp_path / "dense.gaf"
+    gaf.write_text("\n".join(lines * 8) + "\n")
+    expected = io.StringIO()
+    augment_gfa(str(gaf), str(gfa), out=expected, log=io.StringIO())
+
+    state, got, _ = _ckpt_resume_roundtrip(tmp_path, gfa, gaf, 64, "dense")
+    assert "counts" in state and "counts_nz" not in state
+    assert got == expected.getvalue()
+
+
+def test_checkpoint_drain_loops_past_flush_every(tmp_path):
+    """Regression (ADVICE r4): the checkpoint residual drain must LOOP —
+    one GAF record can yield more slots than flush_every, and a single
+    slots_take_pending call would save an inconsistent (offset, counts)
+    pair. flush_every=4 is far below the ~11 slots of the first record."""
+    gfa, gaf = write_micro(tmp_path)
+    big = tmp_path / "big.gaf"
+    big.write_text(open(gaf).read() * 5)
+    expected = io.StringIO()
+    augment_gfa(str(big), str(gfa), out=expected, log=io.StringIO())
+
+    _, got, _ = _ckpt_resume_roundtrip(tmp_path, gfa, big, 4, "tiny")
+    assert got == expected.getvalue()

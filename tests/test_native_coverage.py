@@ -79,3 +79,27 @@ def test_native_parallel_emit_matches_host_bytes(tmp_path, have_native, monkeypa
     buf = io.StringIO()
     native.augment_gfa_native(gaf, gfa, out=buf, log=io.StringIO(), threads=2)
     assert buf.getvalue() == host_buf.getvalue()
+
+
+def test_kidx_sort_wide_keys(have_native):
+    """kidx_sort must be a correct stable argsort for the FULL key width
+    kidx_pack can emit (k<=32 -> up to 64-bit keys). Regression for the
+    44-bit digit plan that silently mis-sorted k>=23 seed indexes
+    (ADVICE r4): verify against numpy's stable argsort at k=28 and k=32."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    seq = "".join(rng.choice(list("ACGT"), size=5000))
+    for k in (21, 28, 32):
+        n = len(seq) - k + 1
+        kmers = np.zeros(n, dtype=np.uint64)
+        native.kidx_pack(seq, k, kmers)
+        # duplicate keys exist at small k -> stability is observable
+        pids = rng.integers(0, 50, size=n).astype(np.int32)
+        poss = np.arange(n, dtype=np.int32)
+        order = np.argsort(kmers, kind="stable")
+        want = (kmers[order], pids[order], poss[order])
+        native.kidx_sort(kmers, pids, poss)
+        assert np.array_equal(kmers, want[0]), f"k={k} keys"
+        assert np.array_equal(pids, want[1]), f"k={k} pids"
+        assert np.array_equal(poss, want[2]), f"k={k} poss"

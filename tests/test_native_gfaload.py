@@ -139,3 +139,42 @@ def test_load_paths_matches_python_loader(tmp_path):
     assert native == python
     assert [n for n, *_ in native] == ["TX1_R1", "chr_4_part", "TX2_H"]
     assert native[0][3] == "ACGTGGTTTAA" and native[0][2] == [0, 4, 6]
+
+
+def test_load_paths_p_before_s_raises_like_python(tmp_path):
+    """Regression (ADVICE r4): the two-pass native loader must not accept a
+    P line that precedes its S lines — the single-pass Python loop raises
+    KeyError there, so the native raises too and load_alignment_paths's
+    fallback re-raises the same error."""
+    gfa = tmp_path / "t.gfa"
+    gfa.write_text(
+        "P\tTX1_R1\t1+,2+\t*\n"
+        "S\t1\tACGT\n"
+        "S\t2\tGG\n"
+    )
+    with pytest.raises(KeyError):
+        get_module().load_paths(str(gfa))
+    from pantas_tpu.mapping import mapper
+
+    with pytest.raises(KeyError):
+        mapper.load_alignment_paths(str(gfa))
+
+
+def test_load_paths_non_ascii_seq_falls_back(tmp_path):
+    """Regression (ADVICE r4): segment bytes >0x7F must not reach a
+    PyUnicode_New(.., 127) buffer (invalid ASCII str = interpreter UB).
+    The native raises ValueError; load_alignment_paths falls back to the
+    Python loop whose text decoding is well-defined."""
+    gfa = tmp_path / "t.gfa"
+    gfa.write_bytes(
+        b"S\t1\tAC\xc3\x9cGT\n"  # UTF-8 non-ASCII base in the sequence
+        b"S\t2\tGG\n"
+        b"P\tTX1_R1\t1+,2+\t*\n"
+    )
+    with pytest.raises(ValueError):
+        get_module().load_paths(str(gfa))
+    from pantas_tpu.mapping import mapper
+
+    recs = mapper.load_alignment_paths(str(gfa))
+    assert [r.name for r in recs] == ["TX1_R1"]
+    assert recs[0].seq == "ACÜGT" + "GG"

@@ -115,3 +115,39 @@ def test_pick_scatter_endtoend_persists_verdict(tmp_path, monkeypatch):
     out = np.asarray(fn2(__import__("jax").numpy.zeros(1 << 12, "int32"),
                          __import__("jax").numpy.arange(256, dtype="int32")))
     assert out[:256].sum() == 256
+
+
+def test_cached_xla_only_verdict_reexplores_big_stages(tmp_path, monkeypatch):
+    """Regression (ADVICE r4): a persisted verdict that was recorded when
+    exploration was skipped (xla stats only) must NOT short-circuit a later
+    call whose projected stage cost clears EXPLORE_BUDGET_S — the race
+    re-runs (observable: the seeded fake stats are replaced by measured
+    ones). A small-stage call still uses the cache untouched."""
+    import json
+
+    from pantas_tpu.coverage import pallas_kernel as pk
+
+    monkeypatch.setenv("PANTAS_JAX_CACHE", str(tmp_path))
+    key = pk._backend_key(1 << 12, 256) + ":v2"
+    vf = tmp_path / "scatter_verdict.json"
+    seed = {
+        key: {
+            "impl": "xla",
+            "batches_hint": 8,
+            "stats": {"xla": {"first_s": 0.0, "median_s": 9999.0,
+                              "times": [9999.0]}},
+            "trials": 5,
+        }
+    }
+    vf.write_text(json.dumps(seed))
+
+    # kernel-bench view (no batches_hint): cached stats must be used as-is
+    name, _ = pk.pick_scatter_endtoend(1 << 12, 256, batches_hint=None)
+    assert name == "xla"
+    assert json.loads(vf.read_text())[key]["stats"]["xla"]["times"] == [9999.0]
+
+    # big stage: 500 batches x 9999 s >> budget -> re-race, file refreshed
+    name2, _ = pk.pick_scatter_endtoend(1 << 12, 256, batches_hint=500)
+    assert name2 == "xla"  # CPU: only xla verifies
+    new = json.loads(vf.read_text())[key]["stats"]["xla"]["times"]
+    assert new != [9999.0] and all(t < 100 for t in new)
