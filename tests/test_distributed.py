@@ -82,11 +82,15 @@ def test_two_process_efficiency_floor(tmp_path):
     (aggregate accumulate-phase reads/s) / (N x single-process reads/s),
     accumulate phase only (jit warm-up and Gloo startup are per-process
     fixed costs). On this repo's 2-core CI host the measured range is
-    0.60-0.77 run-to-run (oversubscription: each process runs a parse
-    thread + XLA worker threads); the floor asserted here is 0.25 —
-    far below the real range, high enough to catch structural
-    regressions like the dense-per-shard merge this round removed
-    (which pushed 2-proc throughput BELOW 1-proc, efficiency < 0.2).
+    0.60-0.80 run-to-run (oversubscription: each process runs a parse
+    thread + XLA worker threads). Floor history: r4 used 0.25 (collapse
+    detector only); three repeated r5 measurements at this workload size
+    gave 0.80/0.63/0.79 (min 0.63), so per the r4 review the floor is now
+    0.45 — it still passes every measured run with ~1.4x headroom but
+    catches a silent 2x regression, not just structural collapse (the
+    removed dense-per-shard merge pushed efficiency < 0.2). The workload
+    is 1.5M records because at ~300k the accumulate phase was 0.05-0.08 s
+    and timer noise alone produced 0.50-0.80 swings.
     BASELINE's >=0.80 target needs real multi-host hardware.
     """
     import re
@@ -95,7 +99,7 @@ def test_two_process_efficiency_floor(tmp_path):
     big = tmp_path / "big.gaf"
     data = open(gaf).read()
     with open(big, "w") as fh:
-        for _ in range(20000):  # ~300k records
+        for _ in range(100000):  # ~1.5M records
             fh.write(data)
 
     def accum(n):
@@ -113,7 +117,7 @@ def test_two_process_efficiency_floor(tmp_path):
     a1 = accum(1)
     a2 = accum(2)
     eff = a1 / (2 * a2)
-    assert eff >= 0.25, f"2-process accumulate efficiency collapsed: {eff:.2f}"
+    assert eff >= 0.45, f"2-process accumulate efficiency regressed: {eff:.2f}"
 
 
 def test_shard_ranges_cover_file(tmp_path):
