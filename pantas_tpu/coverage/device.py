@@ -13,6 +13,7 @@ device.
 """
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 import functools
 import os
@@ -590,7 +591,7 @@ def augment_gfa_device(
 
     print("Augmentation by GAF alignments (device scatter-add)", file=log)
     flushes = 0
-    with open(gaf_path, "rb") as fh:
+    with xopen(gaf_path, "rb") as fh:
         fh.seek(start_offset)
         pos = start_offset
         while True:

@@ -10,6 +10,7 @@ GFA is byte-identical to the reference augmenter on the same inputs:
 """
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 import sys
 from dataclasses import dataclass, field
@@ -54,7 +55,7 @@ class CoverageCounts:
 def load_node_lengths(gfa_path: str) -> Dict[str, int]:
     """Pass 1: segment id -> sequence length (file order preserved)."""
     lens: Dict[str, int] = {}
-    with open(gfa_path) as fh:
+    with xopen(gfa_path) as fh:
         for line in fh:
             if line.startswith("S"):
                 tokens = line.strip().split()
@@ -92,7 +93,7 @@ def _offset_list(d: Dict[int, int]) -> str:
 def emit_augmented_gfa(gfa_path: str, counts: CoverageCounts, out: TextIO) -> None:
     """Pass 2: re-emit the GFA with NC/IL/OL on S lines and RC on L lines."""
     edge_left = dict(counts.edge)
-    with open(gfa_path) as fh:
+    with xopen(gfa_path) as fh:
         for line in fh:
             line = line.strip()
             if line.startswith("S"):
@@ -129,7 +130,7 @@ def augment_gfa(
     print("Read GFA", file=log)
     node_len = load_node_lengths(gfa_path)
     print("Augmentation by GAF alignments", file=log)
-    with open(gaf_path) as fh:
+    with xopen(gaf_path) as fh:
         counts = accumulate_gaf(fh, node_len, mapq_thr)
     print(f"Rejected alignments: {counts.rejected}", file=log)
     print("Annotating GFA", file=log)

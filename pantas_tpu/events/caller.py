@@ -23,6 +23,7 @@ Deliberately preserved reference quirks (each marked QUIRK below):
 """
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 import gc
 import sys
@@ -173,17 +174,20 @@ class SplicingGraph:
         ``native/gfaload.cpp``. Validated by ``tests/test_native_gfaload``.
         """
         if _EXT is not None:
+            from pantas_tpu.io.xopen import materialized
+
             g = cls()
-            (
-                g.seg,
-                g.link,
-                g.junctions,
-                g.novel_junctions,
-                g.j_by_head,
-                g.j_by_tail,
-                g.nj_by_head,
-                g.nj_by_tail,
-            ) = _EXT.load(gfa_path)
+            with materialized(gfa_path) as plain:
+                (
+                    g.seg,
+                    g.link,
+                    g.junctions,
+                    g.novel_junctions,
+                    g.j_by_head,
+                    g.j_by_tail,
+                    g.nj_by_head,
+                    g.nj_by_tail,
+                ) = _EXT.load(plain)
             return g
         return cls._from_gfa_py(gfa_path)
 
@@ -197,7 +201,7 @@ class SplicingGraph:
         # C-speed find() field extraction instead of a full split — the
         # sequence and the (never-consumed) IL/OL tag strings are never
         # materialized, only their spans measured.
-        for line in open(gfa_path):
+        for line in xopen(gfa_path):
             c = line[0] if line else ""
             if c == "S":
                 nl = len(line) - 1 if line[-1] == "\n" else len(line)

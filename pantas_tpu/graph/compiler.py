@@ -18,6 +18,7 @@ batched caller:
 """
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 from dataclasses import dataclass
 from typing import Dict, List, Tuple
@@ -107,7 +108,7 @@ def compile_gfa(gfa_path: str, engine: str = "auto") -> GraphTensors:
     index: Dict[str, int] = {}
     edges: List[Tuple[int, int]] = []
 
-    with open(gfa_path) as fh:
+    with xopen(gfa_path) as fh:
         for line in fh:
             c = line[0] if line else ""
             if c == "S":

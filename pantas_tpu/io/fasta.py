@@ -1,6 +1,7 @@
 """Minimal FASTA reader/writer (build layer only)."""
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 from typing import Dict, Iterator, Tuple
 
@@ -8,7 +9,7 @@ from typing import Dict, Iterator, Tuple
 def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
     name = None
     chunks = []
-    with open(path) as fh:
+    with xopen(path) as fh:
         for line in fh:
             line = line.rstrip("\n")
             if line.startswith(">"):

@@ -14,6 +14,7 @@ link file order, matching the reference parser (``scripts/call.py:145-181``).
 """
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple, Union
@@ -137,7 +138,7 @@ Record = Union[Segment, Link, Path, Walk, str]
 
 def iter_gfa(path: str) -> Iterator[Record]:
     """Stream a GFA file as typed records (header/comment lines as str)."""
-    with open(path) as fh:
+    with xopen(path) as fh:
         for line in fh:
             line = line.rstrip("\n")
             if not line:

@@ -10,6 +10,7 @@ Two consumers with different needs:
 """
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 import re
 from dataclasses import dataclass, field
@@ -35,7 +36,7 @@ def parse_transcript_maps(
     transcript2gene: Dict[str, str] = {}
     genestrand: Dict[str, str] = {}
     genechr: Dict[str, str] = {}
-    for line in open(gtf_path):
+    for line in xopen(gtf_path):
         if line.startswith("#"):
             continue
         cols = line.strip("\n").split("\t")
@@ -61,7 +62,7 @@ def parse_exons(
     if want is not None:
         for t in want:
             exons[t] = []
-    for line in open(gtf_path):
+    for line in xopen(gtf_path):
         if line.startswith("#"):
             continue
         cols = line.strip("\n").split("\t")
@@ -106,7 +107,7 @@ def parse_transcript_models(gtf_path: str) -> Dict[str, Transcript]:
 def chromosomes(gtf_path: str) -> List[str]:
     """Distinct chromosome names in file order (build scatter axis)."""
     seen: Dict[str, None] = {}
-    for line in open(gtf_path):
+    for line in xopen(gtf_path):
         if line.startswith("#"):
             continue
         seen.setdefault(line.split("\t", 1)[0], None)

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from pantas_tpu.io.fasta import revcomp
+from pantas_tpu.io.xopen import xopen
 
 MISMATCH_PENALTY = 4  # max-window scoring: match +1, mismatch -penalty
 
@@ -56,15 +57,17 @@ def load_alignment_paths(
     """
     if ref_transcripts_only:
         try:
+            from pantas_tpu.io.xopen import materialized
             from pantas_tpu.native.gfaload import get_module
 
-            raw = get_module().load_paths(gfa_path)
+            with materialized(gfa_path) as plain:
+                raw = get_module().load_paths(plain)
             return [PathRecord(n, nodes, offs, seq) for n, nodes, offs, seq in raw]
         except Exception:
             pass  # malformed/unusual input: the Python loop decides
     seqs: Dict[str, str] = {}
     out: List[PathRecord] = []
-    with open(gfa_path) as fh:
+    with xopen(gfa_path) as fh:
         for line in fh:
             kind = line[0] if line else ""
             if kind == "S":
@@ -847,7 +850,7 @@ class NativePathAligner:
 
 
 def iter_fastq(path: str) -> Iterator[Tuple[str, str]]:
-    with open(path) as fh:
+    with xopen(path) as fh:
         while True:
             h = fh.readline()
             if not h:

@@ -235,8 +235,11 @@ def scan_gfa_structure(gfa_path: str):
     """Native structural GFA scan: (ids, lens, edge_src_ids, edge_dst_ids)
     as numpy arrays, or None if ids are not plain integers (caller falls
     back to the general Python parser)."""
+    from pantas_tpu.io.xopen import materialized
+
     lib = _load()
-    h = lib.gfa_scan(str(gfa_path).encode())
+    with materialized(gfa_path) as plain:
+        h = lib.gfa_scan(str(plain).encode())
     if not h:
         raise IOError(f"cannot scan {gfa_path}")
     try:
@@ -304,14 +307,17 @@ class NativeCoverage:
         max_dv: float = 0.1,
         threads: int = 1,
     ) -> int:
-        if threads > 1:
-            n = self.lib.gafcov_process_file_mt(
-                self.handle, str(gaf_path).encode(), mapq_thr, max_dv, threads
-            )
-        else:
-            n = self.lib.gafcov_process_file(
-                self.handle, str(gaf_path).encode(), mapq_thr, max_dv
-            )
+        from pantas_tpu.io.xopen import materialized
+
+        with materialized(gaf_path) as plain:
+            if threads > 1:
+                n = self.lib.gafcov_process_file_mt(
+                    self.handle, str(plain).encode(), mapq_thr, max_dv, threads
+                )
+            else:
+                n = self.lib.gafcov_process_file(
+                    self.handle, str(plain).encode(), mapq_thr, max_dv
+                )
         if n < 0:
             raise IOError(f"cannot read {gaf_path}")
         return int(n)
@@ -330,10 +336,21 @@ class NativeCoverage:
         mapq_thr: int = 20,
         max_dv: float = 0.1,
     ):
-        """Open a slot-stream parse session over a GAF byte range."""
-        s = self.lib.gafcov_slots_begin(
-            self.handle, str(gaf_path).encode(), lo, hi, mapq_thr, max_dv
-        )
+        """Open a slot-stream parse session over a GAF byte range.
+
+        Compressed inputs inflate once into scratch (xopen.materialized
+        semantics); byte offsets (``lo``/``hi``/``slots_pos``) always
+        refer to the DECOMPRESSED stream, so checkpoint offsets stay
+        valid across save/resume regardless of the at-rest encoding.
+        The C session mmaps the file, so on Linux the inflated temp can
+        be unlinked as soon as the session holds the mapping.
+        """
+        from pantas_tpu.io.xopen import materialized
+
+        with materialized(gaf_path) as plain:
+            s = self.lib.gafcov_slots_begin(
+                self.handle, str(plain).encode(), lo, hi, mapq_thr, max_dv
+            )
         if not s:
             raise IOError(f"cannot open slot session on {gaf_path}")
         return s
@@ -448,7 +465,10 @@ class NativeCoverage:
 
     def emit(self, gfa_in: str, out_fd: int) -> None:
         """Write the augmented GFA natively to a file descriptor."""
-        rc = self.lib.gafcov_emit(self.handle, str(gfa_in).encode(), out_fd)
+        from pantas_tpu.io.xopen import materialized
+
+        with materialized(gfa_in) as plain:
+            rc = self.lib.gafcov_emit(self.handle, str(plain).encode(), out_fd)
         if rc != 0:
             raise IOError(f"gafcov_emit failed ({rc})")
 

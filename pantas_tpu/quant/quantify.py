@@ -20,6 +20,7 @@ Preserved arithmetic details:
 """
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 import sys
 from dataclasses import dataclass, field
@@ -226,16 +227,18 @@ def _ev_key(ev: QuantEvent):
     return (ev.chrom, ev.gene, tup(ev.canonic_j), tup(ev.event_j))
 
 
-def _load_condition(paths: Sequence[str], min_w: int) -> Dict[str, List[QuantEvent]]:
+def _load_condition(
+    paths: Sequence[str], min_w: int, pool_w: Optional[int] = None
+) -> Dict[str, List[QuantEvent]]:
     events: Dict[str, List[QuantEvent]] = {x: [] for x in ETYPES}
     index: Dict[str, Dict] = {x: {} for x in ETYPES}
     for i, fpath in enumerate(paths):
-        for line in open(fpath):
+        for line in xopen(fpath):
             row = line.strip().split(",")
             if row[0] == "event_type":
                 continue
             ev = event_from_row(row, i)
-            if ev.canonic_cov < min_w or ev.event_cov < min_w:
+            if pool_w is None and (ev.canonic_cov < min_w or ev.event_cov < min_w):
                 continue
             match = index[ev.etype].get(_ev_key(ev))
             if match is not None:
@@ -243,6 +246,23 @@ def _load_condition(paths: Sequence[str], min_w: int) -> Dict[str, List[QuantEve
             else:
                 events[ev.etype].append(ev)
                 index[ev.etype][_ev_key(ev)] = ev
+    if pool_w is not None:
+        # pooled-replicate coverage filter (EXTENSION, off by default —
+        # VERDICT r4 task 4): instead of the reference's per-replicate
+        # drop (which kills a true ΔPSI=0.1 event whose minor junction
+        # sits at 1-2 reads in EVERY replicate, docs/SIM_ACCURACY.md
+        # "failure mode"), require the SUM of each junction's coverage
+        # across the condition's replicates to reach the threshold.
+        # Consistent weak support across replicates then survives, while
+        # a junction seen once stays filtered. Feed this from a w=0 call
+        # pass (the per-event coverages are already in the rows).
+        for et in ETYPES:
+            events[et] = [
+                ev
+                for ev in events[et]
+                if sum(max(0.0, r[0]) for r in ev.replicates) >= pool_w
+                and sum(max(0.0, r[1]) for r in ev.replicates) >= pool_w
+            ]
     return events
 
 
@@ -252,12 +272,20 @@ def quantify(
     both: bool = False,
     min_w: int = 0,
     out: Optional[TextIO] = None,
+    pool_w: Optional[int] = None,
 ) -> Iterator[str]:
-    """Yield quant CSV lines (header first); optionally also write to ``out``."""
+    """Yield quant CSV lines (header first); optionally also write to ``out``.
+
+    ``pool_w`` (extension): replace the reference's per-replicate ``-w``
+    drop with a pooled-across-replicates coverage threshold per junction
+    role — see :func:`_load_condition`. Mutually exclusive with ``min_w``.
+    """
+    if pool_w is not None and min_w:
+        raise ValueError("pool_w and min_w are mutually exclusive")
 
     def _gen():
-        events_1 = _load_condition(c1_paths, min_w)
-        events_2 = _load_condition(c2_paths, min_w)
+        events_1 = _load_condition(c1_paths, min_w, pool_w)
+        events_2 = _load_condition(c2_paths, min_w, pool_w)
         idx_1 = {
             et: {_ev_key(x): x for x in evs} for et, evs in events_1.items()
         }

@@ -18,6 +18,7 @@ Preserved reference quirks:
 """
 
 from __future__ import annotations
+from pantas_tpu.io.xopen import xopen
 
 from typing import Iterator, List, Optional, Sequence, TextIO, Tuple
 
@@ -109,7 +110,7 @@ def remap(
     def _gen():
         # pass 1: which reference transcripts do we need exon spans for?
         wanted = set()
-        for line in open(csv_path):
+        for line in xopen(csv_path):
             if line.startswith("etype"):
                 continue
             names3 = line.strip("\n").split(",")[5:8]
@@ -120,7 +121,7 @@ def remap(
 
         yield REMAP_HEADER
 
-        for line in open(csv_path):
+        for line in xopen(csv_path):
             if line.startswith("etype"):
                 continue
             (
