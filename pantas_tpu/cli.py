@@ -51,6 +51,22 @@ def _cmd_build(argv):
     return 0
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _stage_out(path):
+    """Stage stdout or -o FILE; *.gz/*.zst names compress transparently
+    (byte-identity contracts are on the decompressed content)."""
+    if path is None:
+        yield sys.stdout
+        return
+    from pantas_tpu.io.xopen import open_stage_output
+
+    with open_stage_output(path) as fh:
+        yield fh
+
+
 def _cmd_augment(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu augment")
     ap.add_argument("GAF")
@@ -81,16 +97,23 @@ def _cmd_augment(argv):
         "--resume", action="store_true",
         help="continue from an existing --checkpoint file",
     )
+    ap.add_argument("-o", dest="out", default=None,
+                    help="output GFA (default stdout; .gz/.zst compresses)")
     args = ap.parse_args(argv)
     args.thr = args.mapq if args.thr is None else args.thr
 
     engine = args.engine
+    with _stage_out(args.out) as out:
+        return _run_augment(args, engine, out)
+
+
+def _run_augment(args, engine, out):
     if engine in ("auto", "native"):
         try:
             from pantas_tpu.native import augment_gfa_native
 
             augment_gfa_native(
-                args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr,
+                args.GAF, args.GFA, out=out, mapq_thr=args.thr,
                 threads=args.threads,
             )
             return 0
@@ -118,7 +141,7 @@ def _cmd_augment(argv):
         if engine == "device":
             try:
                 augment_gfa_device_native(
-                    args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr,
+                    args.GAF, args.GFA, out=out, mapq_thr=args.thr,
                     mesh=mesh, checkpoint_path=args.checkpoint,
                     resume=args.resume,
                 )
@@ -130,13 +153,13 @@ def _cmd_augment(argv):
                     file=sys.stderr,
                 )
         augment_gfa_device(
-            args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr, mesh=mesh,
+            args.GAF, args.GFA, out=out, mapq_thr=args.thr, mesh=mesh,
             checkpoint_path=args.checkpoint, resume=args.resume,
         )
         return 0
     from pantas_tpu.coverage import augment_gfa
 
-    augment_gfa(args.GAF, args.GFA, out=sys.stdout, mapq_thr=args.thr)
+    augment_gfa(args.GAF, args.GFA, out=out, mapq_thr=args.thr)
     return 0
 
 
@@ -388,6 +411,8 @@ def _cmd_call(argv):
         help="device engine: shard the candidate axis data-parallel over N "
         "devices (bit-exact for any N)",
     )
+    ap.add_argument("-o", dest="out", default=None,
+                    help="output CSV (default stdout; .gz/.zst compresses)")
     args = ap.parse_args(argv)
     from pantas_tpu.events import CallOptions, call_events
 
@@ -429,8 +454,9 @@ def _cmd_call(argv):
         call_fn = functools.partial(call_events_device, mesh=mesh)
     else:
         call_fn = call_events
-    for row in call_fn(args.GFA, args.GTF, opts):
-        print(row)
+    with _stage_out(args.out) as out:
+        for row in call_fn(args.GFA, args.GTF, opts):
+            print(row, file=out)
     return 0
 
 
@@ -438,9 +464,15 @@ def _cmd_quant(argv):
     ap = argparse.ArgumentParser(prog="pantas-tpu quant")
     ap.add_argument("-a", dest="report_all", action="store_true", help="report one-sided events")
     ap.add_argument("-w", dest="w", type=int, default=0)
+    ap.add_argument("--pool-w", dest="pool_w", type=int, default=None,
+                    help="EXTENSION: pooled-replicate junction coverage "
+                    "threshold (feed from a w=0 call pass); replaces -w's "
+                    "per-replicate drop — recovers consistent weak events")
     ap.add_argument("--c1", dest="c1", nargs="+", default=None)
     ap.add_argument("--c2", dest="c2", nargs="+", default=None)
     ap.add_argument("csvs", nargs="*", help="C1 replicates then C2 replicates")
+    ap.add_argument("-o", dest="out", default=None,
+                    help="output CSV (default stdout; .gz/.zst compresses)")
     args = ap.parse_args(argv)
     from pantas_tpu.quant import quantify
 
@@ -462,7 +494,12 @@ def _cmd_quant(argv):
         print("Provide the same number of replicates for each condition", file=sys.stderr)
         return 1
     # reference driver default is --both; -a reports one-sided events too
-    quantify(c1, c2, both=not args.report_all, min_w=args.w, out=sys.stdout)
+    if args.pool_w is not None and args.w:
+        print("ERROR: --pool-w and -w are mutually exclusive.", file=sys.stderr)
+        return 1
+    with _stage_out(args.out) as out:
+        quantify(c1, c2, both=not args.report_all, min_w=args.w, out=out,
+                 pool_w=args.pool_w)
     return 0
 
 
@@ -471,10 +508,13 @@ def _cmd_remap(argv):
     ap.add_argument("CSV")
     ap.add_argument("GTF")
     ap.add_argument("-i", dest="min_intron_size", type=int, default=100)
+    ap.add_argument("-o", dest="out", default=None,
+                    help="output CSV (default stdout; .gz/.zst compresses)")
     args = ap.parse_args(argv)
     from pantas_tpu.remap import remap
 
-    remap(args.CSV, args.GTF, min_intron_size=args.min_intron_size, out=sys.stdout)
+    with _stage_out(args.out) as out:
+        remap(args.CSV, args.GTF, min_intron_size=args.min_intron_size, out=out)
     return 0
 
 
@@ -571,10 +611,13 @@ def _cmd_map(argv):
     ap.add_argument("FQ2", nargs="?", default=None)
     ap.add_argument("-k", dest="k", type=int, default=21, help="seed k-mer size")
     ap.add_argument("-t", dest="threads", type=int, default=1, help="alignment threads")
+    ap.add_argument("-o", dest="out", default=None,
+                    help="output GAF (default stdout; .gz/.zst compresses)")
     args = ap.parse_args(argv)
     from pantas_tpu.mapping.mapper import map_reads
 
-    map_reads(args.GFA, args.FQ1, args.FQ2, k=args.k, out=sys.stdout, threads=args.threads)
+    with _stage_out(args.out) as out:
+        map_reads(args.GFA, args.FQ1, args.FQ2, k=args.k, out=out, threads=args.threads)
     return 0
 
 

@@ -85,3 +85,56 @@ def test_full_stage_chain(tmp_path, reference_scripts):
     )
     assert ours_q == theirs_q
     assert ours_r == theirs_r
+
+
+def test_pool_w_recovers_consistent_weak_events(tmp_path):
+    """EXTENSION (--pool-w, VERDICT r4 task 4): an event whose junctions
+    sit below -w in EVERY replicate dies under the reference semantics
+    (per-replicate drop), but consistent weak support pools past the
+    threshold; a junction seen in only one replicate stays filtered."""
+    import io
+
+    from pantas_tpu.quant import quantify
+
+    header = (
+        "event_type,annotated/novel,chrom,gene,strand,junction1_name,"
+        "junction2_name,junction3_name,junction1_nodes,junction1_coverage,"
+        "junction2_nodes,junction2_coverage,junction3_nodes,junction3_coverage"
+    )
+    # weak but consistent: event junction coverage 2/2/1 (pooled 5),
+    # canonic 2/2/2 (pooled 6) — below w=3 in every single replicate
+    weak = "A5,annotated,chr1,G1,+,TB_R1.1.2,TA_R1.2.3,.,2>7,{0},5>7,{1},.,."
+    # one-shot noise: appears once at coverage 1 (pooled 1)
+    noise = "A3,annotated,chr1,G1,+,TE_R1.2.3,TA_R1.2.3,.,5>8,1,5>7,1,.,."
+
+    def rep(path, rows):
+        path.write_text(header + "\n" + "\n".join(rows) + "\n")
+        return str(path)
+
+    c1 = [
+        rep(tmp_path / "c1r1.csv", [weak.format(2, 2), noise]),
+        rep(tmp_path / "c1r2.csv", [weak.format(2, 2)]),
+        rep(tmp_path / "c1r3.csv", [weak.format(1, 2)]),
+    ]
+    c2 = [
+        rep(tmp_path / "c2r1.csv", [weak.format(0, 3)]),
+        rep(tmp_path / "c2r2.csv", [weak.format(1, 2)]),
+        rep(tmp_path / "c2r3.csv", [weak.format(0, 2)]),
+    ]
+
+    def rows(**kw):
+        buf = io.StringIO()
+        quantify(c1, c2, both=False, out=buf, **kw)
+        return [l for l in buf.getvalue().splitlines()[1:] if l]
+
+    # reference semantics at w=3: everything dies before quant
+    assert rows(min_w=3) == []
+    # pooled threshold: the consistent event survives, the noise row dies
+    pooled = rows(pool_w=3)
+    assert len(pooled) == 1 and pooled[0].startswith("A5,annotated")
+    assert "A3" not in pooled[0]
+    # PSI carries all replicates: c1 canonic 2,2,2 event 2,2,1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rows(min_w=3, pool_w=3)
