@@ -37,11 +37,28 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
-N_PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 8_750_000
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-MBP = float(sys.argv[3]) if len(sys.argv) > 3 else 100.0
+import argparse
 
-WD = REPO / ".bench" / "fullscale"
+_ap = argparse.ArgumentParser(description=__doc__)
+_ap.add_argument("pairs", nargs="?", type=int, default=8_750_000)
+_ap.add_argument("reps", nargs="?", type=int, default=2)
+_ap.add_argument("mbp", nargs="?", type=float, default=100.0)
+_ap.add_argument(
+    "--mode", choices=["staged", "fused", "both"], default="staged",
+    help="staged = reference stage layout (augment writes the augmented "
+    "GFA, call re-parses it); fused = the `replicate` subcommand (GAF -> "
+    "events, no GFA round-trip, SURVEY's pipeline-fusion claim); both = "
+    "run the two per replicate and assert the event rows multiset-equal",
+)
+_ap.add_argument(
+    "--wd", default="fullscale",
+    help="workdir name under .bench/ (a smoke run should not share "
+    "artifacts with the real one)",
+)
+_args = _ap.parse_args()
+N_PAIRS, REPS, MBP, MODE = _args.pairs, _args.reps, _args.mbp, _args.mode
+
+WD = REPO / ".bench" / _args.wd
 READ_LEN = 150
 FRAG_LEN = 300
 ERROR = 0.005  # 0.5% per-base background error
@@ -127,7 +144,14 @@ def timed_stage(tag, time_name, cmd, stdout_path=None):
     try:
         rc = subprocess.run(
             full, stdout=out, stderr=subprocess.DEVNULL, cwd=REPO,
-            env=dict(os.environ, PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH','')}"),
+            env=dict(
+                os.environ,
+                PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH','')}",
+                # staged call and fused replicate must see the same hash
+                # seed: some IR tie-breaks follow set iteration order, so
+                # row CONTENT (not just order) is seed-dependent
+                PYTHONHASHSEED="0",
+            ),
         ).returncode
     finally:
         if stdout_path:
@@ -169,7 +193,12 @@ def main():
         r1, r2 = reads / f"{tag}_1.fq", reads / f"{tag}_2.fq"
         if r1.exists():
             continue
-        rng = random.Random(hash(tag) & 0xFFFF)
+        # stable seed: hash() is PYTHONHASHSEED-dependent, which made the
+        # background reads (and every downstream artifact) unreproducible
+        # across runs
+        import zlib
+
+        rng = random.Random(zlib.crc32(tag.encode()) & 0xFFFF)
         sig1 = f"{prefix}_{tag}_1.fq" if REPS > 1 else f"{prefix}_{tag.split('_')[0]}_1.fq"
         sig2 = sig1.replace("_1.fq", "_2.fq")
         n_sig = sum(1 for _ in open(sig1)) // 4
@@ -178,8 +207,11 @@ def main():
         append_file(r2, sig2)
         log(f"{tag}: {N_PAIRS} pairs ({n_sig} signal)")
 
-    # stages, each its own timed subprocess (reference stage layout:
-    # unfused augment -> call through the on-disk augmented GFA)
+    # stages, each its own timed subprocess. staged = the reference stage
+    # layout (augment writes the full augmented GFA, call re-parses it:
+    # /root/reference/pantas:132-175); fused = the `replicate` subcommand
+    # (coverage tensors feed calling directly — SURVEY.md:167-170's
+    # pipeline-fusion claim, exercised HERE at the scale that justifies it)
     for tag in tags:
         gaf = WD / f"{tag}.gaf"
         if not gaf.exists():
@@ -191,24 +223,51 @@ def main():
                 stdout_path=str(gaf) + ".tmp",
             )
             os.replace(str(gaf) + ".tmp", gaf)
-        aug = WD / f"{tag}.aug.gfa"
-        if not aug.exists():
-            timed_stage(
-                f"augment {tag}", f"augment.{tag}.time",
-                [PY, "-m", "pantas_tpu", "augment", "--engine", "native",
-                 str(gaf), str(gfa)],
-                stdout_path=str(aug) + ".tmp",
-            )
-            os.replace(str(aug) + ".tmp", aug)
         ev = WD / f"{tag}.events.csv"
-        if not ev.exists():
-            timed_stage(
-                f"call {tag}", f"call.{tag}.w3.time",
-                [PY, "-m", "pantas_tpu", "call", "--rca", "3",
-                 str(aug), str(gtf)],
-                stdout_path=str(ev) + ".tmp",
+        if MODE in ("staged", "both"):
+            aug = WD / f"{tag}.aug.gfa"
+            if not aug.exists():
+                timed_stage(
+                    f"augment {tag}", f"augment.{tag}.time",
+                    [PY, "-m", "pantas_tpu", "augment", "--engine", "native",
+                     str(gaf), str(gfa)],
+                    stdout_path=str(aug) + ".tmp",
+                )
+                os.replace(str(aug) + ".tmp", aug)
+            if not ev.exists():
+                timed_stage(
+                    f"call {tag}", f"call.{tag}.w3.time",
+                    [PY, "-m", "pantas_tpu", "call", "--rca", "3",
+                     str(aug), str(gtf)],
+                    stdout_path=str(ev) + ".tmp",
+                )
+                os.replace(str(ev) + ".tmp", ev)
+        if MODE in ("fused", "both"):
+            fev = WD / f"{tag}.events.fused.csv" if MODE == "both" else ev
+            if not fev.exists():
+                timed_stage(
+                    f"replicate(fused) {tag}", f"replicate.{tag}.w3.time",
+                    [PY, "-m", "pantas_tpu", "replicate", "-t", "2",
+                     "--rca", "3", str(gaf), str(gfa), str(gtf)],
+                    stdout_path=str(fev) + ".tmp",
+                )
+                os.replace(str(fev) + ".tmp", fev)
+        if MODE == "both":
+            # the fused path must reproduce the staged events exactly
+            # (multiset: row order follows set iteration and is not
+            # semantically meaningful — SURVEY §3.3)
+            staged_rows = sorted(open(ev))
+            fused_rows = sorted(open(WD / f"{tag}.events.fused.csv"))
+            assert staged_rows == fused_rows, (
+                f"{tag}: fused events differ from staged "
+                f"({len(staged_rows)} vs {len(fused_rows)} rows)"
             )
-            os.replace(str(ev) + ".tmp", ev)
+            log(f"{tag}: fused == staged ({len(staged_rows) - 1} events)")
+            # the comparison is done; drop the ~4 GB augmented GFA so a
+            # 4-replicate both-mode run fits the disk
+            aug = WD / f"{tag}.aug.gfa"
+            if aug.exists():
+                aug.unlink()
 
     quant = WD / "quant.csv"
     timed_stage(
