@@ -821,6 +821,19 @@ class NativePathAligner:
             n,
         )
 
+    def phase_stats(self):
+        """Per-phase ns totals since creation: dict of the aligner's wall
+        bisection (seed/extend/join/mapq/format/io + counters)."""
+        import ctypes
+
+        from pantas_tpu.native.gafcov import _ptr
+
+        out = np.zeros(8, dtype=np.int64)
+        self.lib.aln_phase_stats(self.handle, _ptr(out, ctypes.c_int64))
+        keys = ("seed", "extend", "join", "mapq", "format", "io",
+                "best_piece_calls", "reads")
+        return dict(zip(keys, (int(x) for x in out)))
+
     def map_file(self, fq1: str, fq2, out_fd: int, threads: int = 1):
         """Full-batch FASTQ -> GAF natively; returns (mapped, spliced, total)."""
         import ctypes
@@ -897,6 +910,17 @@ def map_reads(
             fd = None
         if fd is not None:
             mapped, spliced, total = native.map_file(fq1, fq2, fd, threads)
+            ph = native.phase_stats()
+            reads = max(1, ph["reads"])
+            print(
+                "[map] phases (us/read, summed over threads): "
+                + " ".join(
+                    f"{k}={ph[k] / 1e3 / reads:.1f}"
+                    for k in ("seed", "extend", "join", "mapq", "format", "io")
+                )
+                + f" best_piece_calls/read={ph['best_piece_calls'] / reads:.2f}",
+                file=log,
+            )
             print(
                 f"[map] mapped {mapped}/{total} reads ({spliced} spliced joins)",
                 file=log,

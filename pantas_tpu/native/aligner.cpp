@@ -6,6 +6,7 @@
 // returns piece coordinates (forward-path), strand, and the oriented cs
 // string, and must produce byte-identical GAF through the same formatter.
 
+#include <time.h>
 #include <unistd.h>
 #include <algorithm>
 #include <cctype>
@@ -13,6 +14,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -22,6 +24,26 @@ namespace {
 constexpr int MISMATCH_PENALTY = 4;
 constexpr double MAX_MISMATCH_FRAC = 0.08;
 constexpr int MIN_SPAN = 20;
+
+// per-phase wall accounting for the speed-of-light bisection
+// (docs/PERFORMANCE.md "Mapper"): a few clock_gettime pairs per read
+// (~25 ns each) against a ~27 us/read core — ~1% overhead, always on.
+// Slots: 0 seed (pack+bisect+vote sort), 1 extend (Kadane top-4),
+// 2 join (snap/indel split search), 3 mapq (secondary-candidate scan),
+// 4 format (cs + GAF line), 5 io (fastq read + output write),
+// 6 best_piece calls, 7 reads.
+struct Phases {
+  int64_t ns[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  void add(const Phases &o) {
+    for (int i = 0; i < 8; ++i) ns[i] += o.ns[i];
+  }
+};
+
+inline int64_t now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (int64_t)ts.tv_sec * 1000000000 + ts.tv_nsec;
+}
 
 struct Aligner {
   const char *seqs = nullptr;        // concatenated path sequences
@@ -36,6 +58,15 @@ struct Aligner {
   int64_t n_kmers = 0;
   int k = 21;
   int max_hits = 64;
+  Phases phases;          // merged under phases_mu at chunk boundaries
+  std::mutex phases_mu;
+  // prefix-bucket directory over the sorted kmer array: bucket[b] is the
+  // first index whose key has top bits == b, so each seed lookup narrows
+  // to a ~32-entry range before bisecting. The plain full-array bisection
+  // measured 25.5 us/read at genome scale (192M keys = 1.5 GB, every
+  // probe a cache miss) — 72% of the per-read wall.
+  std::vector<int64_t> bucket;
+  int bucket_shift = 0;
 
   const char *pseq(int pi) const { return seqs + seq_off[pi]; }
   int64_t plen(int pi) const { return seq_off[pi + 1] - seq_off[pi]; }
@@ -96,7 +127,13 @@ void seed(const Aligner &A, const char *read, int64_t L, int64_t qlo,
                      qhi - k};
   // python: sorted(set(...)) — dedupe & sort
   std::sort(offs, offs + 5);
+  // software pipeline: pack every offset first and prefetch its bucket
+  // directory lines, so the 5 independent lookups overlap their DRAM
+  // misses instead of serializing them
   int64_t prev = -1;
+  uint64_t packs[5];
+  int64_t qs[5];
+  int np = 0;
   for (int oi = 0; oi < 5; ++oi) {
     int64_t q = offs[oi];
     if (q == prev) continue;
@@ -110,15 +147,32 @@ void seed(const Aligner &A, const char *read, int64_t L, int64_t qlo,
       packed = (packed << 2) | (uint64_t)c;
     }
     if (!ok) continue;
-    // binary range search
-    int64_t lo = 0, hi = A.n_kmers;
+    packs[np] = packed;
+    qs[np] = q;
+    ++np;
+    __builtin_prefetch(&A.bucket[packed >> A.bucket_shift], 0, 1);
+  }
+  int64_t ranges[5][2];
+  for (int i = 0; i < np; ++i) {
+    uint64_t b = packs[i] >> A.bucket_shift;
+    ranges[i][0] = A.bucket[b];
+    ranges[i][1] = A.bucket[b + 1];
+    // pull the narrowed kmer range in while the next lookup proceeds
+    __builtin_prefetch(&A.kmers[(ranges[i][0] + ranges[i][1]) / 2], 0, 1);
+  }
+  for (int i = 0; i < np; ++i) {
+    uint64_t packed = packs[i];
+    int64_t q = qs[i];
+    // bucket-narrowed binary range search (identical result to a
+    // full-array bisection; the directory only bounds the range)
+    int64_t lo = ranges[i][0], hi = ranges[i][1];
     while (lo < hi) { int64_t m = (lo + hi) / 2; if (A.kmers[m] < packed) lo = m + 1; else hi = m; }
-    int64_t lo2 = lo; hi = A.n_kmers;
+    int64_t lo2 = lo; hi = ranges[i][1];
     while (lo2 < hi) { int64_t m = (lo2 + hi) / 2; if (A.kmers[m] <= packed) lo2 = m + 1; else hi = m; }
     if (lo2 - lo > A.max_hits) continue;
-    for (int64_t i = lo; i < lo2; ++i) {
-      int pid = A.pids[i];
-      int64_t diag = (int64_t)A.poss[i] - q;
+    for (int64_t j = lo; j < lo2; ++j) {
+      int pid = A.pids[j];
+      int64_t diag = (int64_t)A.poss[j] - q;
       bool found = false;
       for (auto &v : votes)
         if (v.pid == pid && v.diag == diag) { v.count++; found = true; break; }
@@ -176,8 +230,9 @@ void node_interval(const Aligner &A, const Piece &p, int64_t &lo, int64_t &hi) {
 
 bool best_piece(const Aligner &A, const char *read, int64_t L, int64_t qlo,
                 int64_t qhi, bool use_excl, int excl_pid, int64_t excl_diag,
-                Piece &best, std::vector<Vote> &scratch,
+                Piece &best, std::vector<Vote> &scratch, Phases *ph,
                 std::vector<Cand> *collect = nullptr) {
+  int64_t t0 = now_ns();
   seed(A, read, L, qlo, qhi, scratch);
   if (use_excl) {
     for (size_t i = 0; i < scratch.size(); ++i)
@@ -186,9 +241,16 @@ bool best_piece(const Aligner &A, const char *read, int64_t L, int64_t qlo,
         break;
       }
   }
-  if (scratch.empty()) return false;
+  if (scratch.empty()) {
+    ph->ns[0] += now_ns() - t0;
+    ph->ns[6]++;
+    return false;
+  }
   std::stable_sort(scratch.begin(), scratch.end(),
                    [](const Vote &a, const Vote &b) { return a.count > b.count; });
+  int64_t t1 = now_ns();
+  ph->ns[0] += t1 - t0;
+  ph->ns[6]++;
   bool have = false;
   size_t top = std::min(scratch.size(), (size_t)4);
   for (size_t t = 0; t < top; ++t) {
@@ -208,6 +270,7 @@ bool best_piece(const Aligner &A, const char *read, int64_t L, int64_t qlo,
       have = true;
     }
   }
+  ph->ns[1] += now_ns() - t1;
   return have;
 }
 
@@ -367,7 +430,8 @@ int mapq_from_scores(int64_t s1, int64_t s2) {
 // strand loop + two-piece rescue; returns piece count (0 = unmapped)
 int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
                bool &best_rev, Gap &best_gap, int &mapq_out, std::string &fwd,
-               std::string &rev, std::vector<Vote> &scratch) {
+               std::string &rev, std::vector<Vote> &scratch, Phases *ph) {
+  ph->ns[7]++;
   fwd.assign(read_in, L);
   rev.resize(L);
   for (int64_t i = 0; i < L; ++i) rev[i] = comp(read_in[L - 1 - i]);
@@ -383,7 +447,7 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
   for (int strand = 0; strand < 2; ++strand) {
     const char *seq = strand ? rev.c_str() : fwd.c_str();
     Piece p1;
-    if (!best_piece(A, seq, L, 0, L, false, 0, 0, p1, scratch,
+    if (!best_piece(A, seq, L, 0, L, false, 0, 0, p1, scratch, ph,
                     &strand_cands[strand]))
       continue;
     Piece cand[2] = {p1, Piece()};
@@ -394,8 +458,9 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
     if (L - p1.qend >= A.k) {
       Piece p2;
       if (best_piece(A, seq, L, std::max((int64_t)0, p1.qend - 8), L, true,
-                     p1.path, excl_diag, p2, scratch) &&
+                     p1.path, excl_diag, p2, scratch, ph) &&
           p2.qend > p1.qend) {
+        int64_t tj = now_ns();
         Piece o1, o2;
         if (snap_join(A, seq, p1, p2, o1, o2)) {
           cand[0] = o1;
@@ -406,13 +471,15 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
           cand[1] = o2;
           cand_n = 2;
         }
+        ph->ns[2] += now_ns() - tj;
       }
     }
     if (cand_n == 1 && cand[0].qstart >= A.k) {
       Piece p0;
       if (best_piece(A, seq, L, 0, std::min(L, p1.qstart + 8), true, p1.path,
-                     excl_diag, p0, scratch) &&
+                     excl_diag, p0, scratch, ph) &&
           p0.qstart < p1.qstart) {
+        int64_t tj = now_ns();
         Piece o1, o2;
         if (snap_join(A, seq, p0, p1, o1, o2)) {
           cand[0] = o1;
@@ -423,6 +490,7 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
           cand[1] = o2;
           cand_n = 2;
         }
+        ph->ns[2] += now_ns() - tj;
       }
     }
 
@@ -449,6 +517,7 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
   if (!have) return 0;
   // MAPQ: best score among distinct placements (disjoint node-id interval
   // or opposite strand) vs the winner's final score
+  int64_t tm = now_ns();
   int64_t w_lo = 0, w_hi = 0;
   for (int i = 0; i < best_n; ++i) {
     int64_t lo, hi;
@@ -464,6 +533,7 @@ int align_core(Aligner &A, const char *read_in, int64_t L, Piece *best,
         s2 = std::max(s2, c.score);
   }
   mapq_out = mapq_from_scores(best_score, s2);
+  ph->ns[3] += now_ns() - tm;
   return best_n;
 }
 
@@ -716,6 +786,17 @@ void *aln_create(const char *seqs, const int64_t *seq_off,
   A->n_kmers = n_kmers;
   A->k = k;
   A->max_hits = max_hits;
+  // size the directory to ~n/32 buckets, clamped to the key width and to
+  // 2^24 (128 MB of int64 offsets at the cap)
+  int bits = 1;
+  while ((int64_t(1) << bits) * 32 < n_kmers && bits < 24) ++bits;
+  if (bits > 2 * k) bits = 2 * k;
+  A->bucket_shift = 2 * k - bits;
+  int64_t nb = int64_t(1) << bits;
+  A->bucket.assign(nb + 1, 0);
+  for (int64_t i = 0; i < n_kmers; ++i)
+    A->bucket[(kmers[i] >> A->bucket_shift) + 1]++;
+  for (int64_t b = 0; b < nb; ++b) A->bucket[b + 1] += A->bucket[b];
   return A;
 }
 
@@ -732,10 +813,12 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
   bool best_rev;
   Gap gap;
   int mapq;
+  static thread_local Phases scratch_ph;
   std::string fwd, rev;
   std::vector<Vote> scratch;
   int best_n =
-      align_core(A, read_in, L, best, best_rev, gap, mapq, fwd, rev, scratch);
+      align_core(A, read_in, L, best, best_rev, gap, mapq, fwd, rev, scratch,
+                 &scratch_ph);
   if (best_n == 0) return 0;
 
   const char *seq = best_rev ? rev.c_str() : fwd.c_str();
@@ -799,6 +882,7 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
     }
     bool eof = false;
     while (!eof) {
+      int64_t tio = now_ns();
       reads.clear();
       reads.reserve(CHUNK);
       FqRecord rec;
@@ -809,10 +893,12 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
         }
         reads.push_back(std::move(rec));
       }
+      A.phases.ns[5] += now_ns() - tio;
       if (reads.empty()) break;
       lines.assign(reads.size(), std::string());
       std::vector<int64_t> t_mapped(n_threads, 0), t_spliced(n_threads, 0);
 
+      std::vector<Phases> t_phases(n_threads);
       auto work = [&](int t) {
         Piece best[2];
         bool rev_flag;
@@ -821,10 +907,11 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
         std::string fwd, rev, cs;
         std::vector<Vote> scratch;
         char buf[96];
+        Phases *ph = &t_phases[t];
         for (size_t i = t; i < reads.size(); i += n_threads) {
           const FqRecord &r = reads[i];
           int n = align_core(A, r.seq.data(), (int64_t)r.seq.size(), best,
-                             rev_flag, gap, mapq, fwd, rev, scratch);
+                             rev_flag, gap, mapq, fwd, rev, scratch, ph);
           if (n == 0) {
             snprintf(buf, sizeof buf, "\t%lld\t0\t0\t+\t*\t0\t0\t0\t0\t0\t0\n",
                      (long long)r.seq.size());
@@ -834,6 +921,7 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
           t_mapped[t]++;
           if (n > 1 && !gap.kind) t_spliced[t]++;
           const char *seq = rev_flag ? rev.c_str() : fwd.c_str();
+          int64_t tf = now_ns();
           int64_t mism_total;
           build_cs(A, seq, best, n, rev_flag, gap, cs, mism_total);
           int64_t meta3;
@@ -848,6 +936,7 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
           gaf_line(A, r.name.c_str(), (int64_t)r.name.size(),
                    (int64_t)r.seq.size(), best, n, rev_flag, gap, cs, meta3,
                    mapq, lines[i]);
+          ph->ns[4] += now_ns() - tf;
         }
       };
       if (n_threads == 1) {
@@ -862,7 +951,13 @@ int64_t aln_map_file(void *h, const char *fq1, const char *fq2, int out_fd,
         spliced += t_spliced[t];
       }
       total += (int64_t)reads.size();
+      {
+        std::lock_guard<std::mutex> g(A.phases_mu);
+        for (int t = 0; t < n_threads; ++t) A.phases.add(t_phases[t]);
+      }
+      int64_t tw = now_ns();
       for (auto &l : lines) fwrite(l.data(), 1, l.size(), out);
+      A.phases.ns[5] += now_ns() - tw;
       if (ferror(out)) {
         fclose(fp);
         fclose(out);
@@ -999,6 +1094,14 @@ int64_t shk_filter_file(void *h, const char *fq1, const char *fq2,
   stats[0] = kept;
   stats[1] = total;
   return 0;
+}
+
+// per-phase ns totals since aln_create: [seed, extend, join, mapq, format,
+// io, best_piece_calls, reads] — see Phases
+void aln_phase_stats(void *h, int64_t *out8) {
+  Aligner &A = *(Aligner *)h;
+  std::lock_guard<std::mutex> g(A.phases_mu);
+  for (int i = 0; i < 8; ++i) out8[i] = A.phases.ns[i];
 }
 
 }  // extern "C"

@@ -132,6 +132,8 @@ def _load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.c_int, P(i64),
     ]
+    lib.aln_phase_stats.restype = None
+    lib.aln_phase_stats.argtypes = [ctypes.c_void_p, P(i64)]
     lib.shk_filter_file.restype = i64
     lib.shk_filter_file.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
