@@ -330,9 +330,11 @@ def _gene_of(meta: Dict[str, NodeMeta], node: str, t2g, genestrand):
 
 
 def _condition_piles(gafs, meta, min_clip, mapq_thr, max_dv, engine):
-    """Sum clip pile-ups and node coverage (NC) over a condition's GAFs."""
+    """Sum clip pile-ups, node coverage (NC), and adjacency traversals
+    over a condition's GAFs."""
     piles: Dict[Tuple[str, str, int], List[int]] = {}
     nc: Dict[str, int] = {}
+    pairs: Dict[Tuple[str, str], int] = {}
     for gaf in gafs:
         for k, (cnt, clipmax) in _scan(
             str(gaf), meta, min_clip, mapq_thr, max_dv, engine
@@ -340,19 +342,28 @@ def _condition_piles(gafs, meta, min_clip, mapq_thr, max_dv, engine):
             cur = piles.setdefault(k, [0, 0])
             cur[0] += cnt
             cur[1] = max(cur[1], clipmax)
-        for node, cov in _node_coverage(str(gaf), meta, mapq_thr, max_dv).items():
+        for node, cov in _node_coverage(
+            str(gaf), meta, mapq_thr, max_dv, pairs
+        ).items():
             nc[node] = nc.get(node, 0) + cov
-    return piles, nc
+    return piles, nc, pairs
 
 
-def _node_coverage(gaf_path, meta, mapq_thr, max_dv) -> Dict[str, int]:
+def _node_coverage(
+    gaf_path, meta, mapq_thr, max_dv, pairs: Optional[Dict] = None
+) -> Dict[str, int]:
     """Per-node read counts for a GAF — the inclusion-side denominator.
 
     Cheap streaming count (every walked node +1 per accepted record), the
-    NC semantics of the augment stage at node granularity.
+    NC semantics of the augment stage at node granularity. When ``pairs``
+    is given (a dict), adjacent-step traversal counts accumulate into it
+    keyed by (from_node, to_node) in genomic orientation — the skip-side
+    denominator for cassette-exon candidates.
     """
+    from pantas_tpu.io.xopen import xopen
+
     out: Dict[str, int] = {}
-    with open(gaf_path) as fh:
+    with xopen(gaf_path) as fh:
         for line in fh:
             if not line.strip():
                 continue
@@ -366,6 +377,9 @@ def _node_coverage(gaf_path, meta, mapq_thr, max_dv) -> Dict[str, int]:
             for step in rec.path.split("<" if rev else ">")[1:]:
                 if step != last and step in meta:
                     out[step] = out.get(step, 0) + 1
+                    if pairs is not None and last is not None and last in meta:
+                        key = (step, last) if rev else (last, step)
+                        pairs[key] = pairs.get(key, 0) + 1
                 last = step
     return out
 
@@ -382,6 +396,7 @@ def quantify_sites(
     max_intron: int = 10_000,
     min_intron: int = 20,
     canonical_tol: int = 6,
+    ce_min_clip: int = 25,
     engine: str = "auto",
 ) -> List[str]:
     """Quantified intra-node novel splice events (PSI analogue), CSV rows.
@@ -434,8 +449,8 @@ def quantify_sites(
             for anno in (exon_ends.get(chrom, ()), exon_starts.get(chrom, ()))
             for d in range(-tol, tol + 1)
         )
-    p1, nc1 = _condition_piles(c1_gafs, meta, min_clip, mapq_thr, max_dv, engine)
-    p2, nc2 = _condition_piles(c2_gafs, meta, min_clip, mapq_thr, max_dv, engine)
+    p1, nc1, pr1 = _condition_piles(c1_gafs, meta, min_clip, mapq_thr, max_dv, engine)
+    p2, nc2, pr2 = _condition_piles(c2_gafs, meta, min_clip, mapq_thr, max_dv, engine)
 
     # candidate sites = union of both conditions' pile keys, interior only
     sites = []
@@ -540,9 +555,118 @@ def quantify_sites(
             f"{incl1}/{clip1},{incl2}/{clip2},{psi1},{psi2},{dpsi}"
         )
 
+    rows.extend(
+        _ce_rows(
+            meta, t2g, genestrand, gtf_path, p1, p2, pr1, pr2,
+            w=w, ce_min_clip=ce_min_clip, tol=canonical_tol // 2,
+        )
+    )
+
     def key(r: str):
         f = r.split(",")
         return (f[2], f[3], f[5], f[6])
 
     rows.sort(key=key)
     return rows
+
+
+def _ce_rows(
+    meta, t2g, genestrand, gtf_path, p1, p2, pr1, pr2,
+    w: int = 3, ce_min_clip: int = 25, tol: int = 3,
+):
+    """Cassette-exon candidates from PAIRED canonical-boundary pile-ups.
+
+    A novel cassette exon inside an annotated intron leaves its two
+    REACHABLE clip signatures at the intron's own (annotated, node-
+    boundary) termini: inclusion reads splice from the upstream exon's
+    last base into the CE (long soft-clip at the donor boundary, an
+    'end' pile) and from the CE into the downstream exon's first base
+    (long clip at the acceptor boundary, a 'start' pile). The CE's own
+    boundaries stay unreachable (an arm inside a < L/2 exon cannot map
+    — docs/SIM_ACCURACY.md), which is why the plain site detector has
+    structural CE recall 0: it drops node-boundary piles as annotated-
+    junction clip shadows.
+
+    The discriminators that separate a CE from those shadows:
+
+    * **pairing** — BOTH termini of one annotated intron (consecutive
+      exons of some transcript) carry a pile;
+    * **clip length** — shadow clips are arms the mapper refused to
+      splice (< MIN_SPAN ≈ 20 bp); CE inclusion arms run up to L/2, so
+      ``ce_min_clip`` (default 25) excludes shadows;
+    * **support** — each pile needs count ≥ ``w`` in one condition.
+
+    PSI analogue follows the reference CE quant convention
+    (quantify.py:151-161): canonic = reads traversing the skip junction
+    (adjacency donor-node -> acceptor-node in the walks), event =
+    (clip_donor + clip_acceptor) / 2; psi = canonic/(canonic+event).
+    """
+    from pantas_tpu.io.gtf import parse_transcript_models
+
+    # annotated introns between consecutive exons: (chrom, donor_end,
+    # acceptor_start) -> transcript strand
+    introns: Dict[Tuple[str, int, int], str] = {}
+    for tr in parse_transcript_models(gtf_path).values():
+        exons = sorted(tr.exons)
+        for (s0, e0), (s1, _e1) in zip(exons, exons[1:]):
+            introns.setdefault((tr.chrom, e0, s1), tr.strand)
+
+    # genomic position -> boundary piles (INCLUDING node-boundary ones)
+    def pile_positions(piles):
+        by_pos: Dict[Tuple[str, str, int], List[int]] = {}
+        for (side, node, off), (cnt, clipmax) in piles.items():
+            m = meta.get(node)
+            if m is None or m.gchrom is None:
+                continue
+            cur = by_pos.setdefault((side, m.gchrom, m.gstart + off), [0, 0, node])
+            cur[0] += cnt
+            cur[1] = max(cur[1], clipmax)
+        return by_pos
+
+    bp1 = pile_positions(p1)
+    bp2 = pile_positions(p2)
+
+    def find(bp, side, chrom, pos):
+        for d in range(-tol, tol + 1):
+            hit = bp.get((side, chrom, pos + d))
+            if hit is not None:
+                return hit
+        return None
+
+    out = []
+    for (chrom, d_end, a_start), strand in sorted(introns.items()):
+        e1 = find(bp1, "end", chrom, d_end)
+        s1 = find(bp1, "start", chrom, a_start)
+        e2 = find(bp2, "end", chrom, d_end)
+        s2 = find(bp2, "start", chrom, a_start)
+        def ok(e, s):
+            return (
+                e is not None and s is not None
+                and e[0] >= w and s[0] >= w
+                and e[1] >= ce_min_clip and s[1] >= ce_min_clip
+            )
+        if not (ok(e1, s1) or ok(e2, s2)):
+            continue
+        node_d = (e1 or e2)[2]
+        node_a = (s1 or s2)[2]
+        gene, gstrand = _gene_of(meta, node_d, t2g, genestrand)
+        if gene is None:
+            gene, gstrand = _gene_of(meta, node_a, t2g, genestrand)
+        if gene is None:
+            continue
+        clip1 = ((e1 or [0])[0] + (s1 or [0])[0]) / 2
+        clip2 = ((e2 or [0])[0] + (s2 or [0])[0]) / 2
+        skip1 = pr1.get((node_d, node_a), 0)
+        skip2 = pr2.get((node_d, node_a), 0)
+
+        def psi(skip, incl):
+            return skip / (skip + incl) if skip + incl > 0 else -1
+
+        psi1, psi2 = psi(skip1, clip1), psi(skip2, clip2)
+        dpsi = -1 if psi1 == -1 and psi2 == -1 else max(0, psi1) - max(0, psi2)
+        out.append(
+            f"CE,novel,{chrom},{gene},{gstrand or strand},"
+            f"{d_end},{a_start},"
+            f"{skip1}/{clip1:g},{skip2}/{clip2:g},{psi1},{psi2},{dpsi}"
+        )
+    return out

@@ -357,6 +357,37 @@ def score_novel_sites(wd, prefix, tol=3, run_dir=None):
                 f"{matched}/{len(kept)} = {matched / nk:.2f}"
             )
 
+            # cassette exons (r5): paired canonical-boundary clip piles ->
+            # CE rows; truth = the flanking annotated-intron endpoints
+            ce_truth = {}
+            for row in csv.DictReader(open(f"{prefix}_truth.csv")):
+                if row["etype"] == "CE":
+                    i_s, i_e = map(int, row["region1"].split(":")[1].split("-"))
+                    ce_truth[row["gene"]] = (i_s - 1, i_e + 1)
+            ce_rows = [r for r in kept if r[0] == "CE"]
+            if ce_truth:
+                def ce_match(r, gene, d, a):
+                    return (
+                        r[3] == gene
+                        and abs(int(r[5]) - d) <= tol
+                        and abs(int(r[6]) - a) <= tol
+                    )
+                chits = sum(
+                    any(ce_match(r, g, d, a) for r in ce_rows)
+                    for g, (d, a) in ce_truth.items()
+                )
+                cgood = sum(
+                    any(ce_match(r, g, d, a) for g, (d, a) in ce_truth.items())
+                    for r in ce_rows
+                )
+                nc = len(ce_rows) or 1
+                print(
+                    f"cassette exons (paired-boundary CE rows, |dpsi|>=0.05): "
+                    f"recall {chits}/{len(ce_truth)} = "
+                    f"{chits / (len(ce_truth) or 1):.2f} | precision "
+                    f"{cgood}/{len(ce_rows)} = {cgood / nc:.2f}"
+                )
+
 
 if __name__ == "__main__":
     main()

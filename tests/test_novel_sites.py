@@ -280,3 +280,86 @@ def test_quantify_sites_drops_annotated_shadows(tmp_path):
         w=3, canonical_tol=1,
     )
     assert rows == [], rows
+
+
+CE_GFA = """H\tVN:Z:1.0
+S\t1\tAAAAAAAAAAAAAAAAAAAA\tEX:Z:T1_R1.1
+S\t2\tCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCC
+S\t3\tGGGGGGGGGGGGGGGGGGGG\tEX:Z:T1_R1.2
+L\t1\t+\t2\t+\t0M
+L\t2\t+\t3\t+\t0M
+L\t1\t+\t3\t+\t0M
+P\tchrZ\t1+,2+,3+\t*
+P\tT1_R1\t1+,3+\t*
+"""
+
+CE_GTF = (
+    'chrZ\tsrc\ttranscript\t1\t90\t.\t+\t.\tgene_id "G1"; transcript_id "T1";\n'
+    'chrZ\tsrc\texon\t1\t20\t.\t+\t.\tgene_id "G1"; transcript_id "T1";\n'
+    'chrZ\tsrc\texon\t71\t90\t.\t+\t.\tgene_id "G1"; transcript_id "T1";\n'
+)
+
+
+def test_cassette_exon_candidate_pairing(tmp_path):
+    """VERDICT r4 task 5: a novel cassette exon's two REACHABLE clip
+    signatures sit at the flanking annotated intron's own boundaries
+    (node-boundary piles the site detector drops as shadows). Paired
+    long-clip piles at BOTH termini of one annotated intron + skip-
+    junction traversal counts must yield a quantified CE row; shadow-
+    length clips (< ce_min_clip) must not."""
+    from pantas_tpu.events.sites import quantify_sites
+
+    gfa = tmp_path / "ce.gfa"
+    gfa.write_text(CE_GFA)
+    gtf = tmp_path / "ce.gtf"
+    gtf.write_text(CE_GTF)
+
+    lines = []
+    # inclusion reads: splice exonA -> CE, long clip at donor boundary
+    for i in range(3):
+        lines.append(_gaf(f"d{i}", 100, 0, 60, ">1", 20, 0, 20))  # tail clip 40
+    # inclusion reads: splice CE -> exonB, long clip at acceptor boundary
+    for i in range(3):
+        lines.append(_gaf(f"a{i}", 100, 40, 100, ">3", 20, 0, 20))  # head clip 40
+    # skip reads traversing the annotated junction A->B
+    for i in range(5):
+        lines.append(_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 40))
+    gaf1 = tmp_path / "c1.gaf"
+    gaf1.write_text("\n".join(lines) + "\n")
+
+    # condition 2: skip reads only
+    gaf2 = tmp_path / "c2.gaf"
+    gaf2.write_text(
+        "\n".join(_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 40) for i in range(5))
+        + "\n"
+    )
+
+    rows = quantify_sites([str(gaf1)], [str(gaf2)], str(gfa), str(gtf))
+    ce = [r.split(",") for r in rows if r.startswith("CE,")]
+    assert len(ce) == 1
+    r = ce[0]
+    assert r[2] == "chrZ" and r[3] == "G1" and r[4] == "+"
+    assert r[5] == "20" and r[6] == "71"  # donor exon end / acceptor exon start
+    assert r[7] == "5/3" and r[8] == "5/0"
+    assert abs(float(r[9]) - 5 / 8) < 1e-9 and float(r[10]) == 1.0
+    assert abs(float(r[11]) - (5 / 8 - 1.0)) < 1e-9
+
+    # shadow-length clips (arm the mapper refused, < ce_min_clip): no CE
+    shadow = [
+        _gaf(f"d{i}", 70, 0, 60, ">1", 20, 0, 20) for i in range(3)  # clip 10
+    ] + [
+        _gaf(f"a{i}", 70, 10, 70, ">3", 20, 0, 20) for i in range(3)  # clip 10
+    ] + [_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 40) for i in range(5)]
+    gaf3 = tmp_path / "c3.gaf"
+    gaf3.write_text("\n".join(shadow) + "\n")
+    rows = quantify_sites([str(gaf3)], [str(gaf2)], str(gfa), str(gtf))
+    assert not any(r.startswith("CE,") for r in rows)
+
+    # one-sided pile (donor only): no pairing, no CE
+    onesided = [
+        _gaf(f"d{i}", 100, 0, 60, ">1", 20, 0, 20) for i in range(3)
+    ] + [_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 40) for i in range(5)]
+    gaf4 = tmp_path / "c4.gaf"
+    gaf4.write_text("\n".join(onesided) + "\n")
+    rows = quantify_sites([str(gaf4)], [str(gaf2)], str(gfa), str(gtf))
+    assert not any(r.startswith("CE,") for r in rows)
