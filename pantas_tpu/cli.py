@@ -613,11 +613,15 @@ def _cmd_map(argv):
     ap.add_argument("-t", dest="threads", type=int, default=1, help="alignment threads")
     ap.add_argument("-o", dest="out", default=None,
                     help="output GAF (default stdout; .gz/.zst compresses)")
+    ap.add_argument("--index", dest="index", default=None, metavar="DIR",
+                    help="persist/reuse the k-mer index (build once, "
+                    "mmap-load on later invocations against the same GFA)")
     args = ap.parse_args(argv)
     from pantas_tpu.mapping.mapper import map_reads
 
     with _stage_out(args.out) as out:
-        map_reads(args.GFA, args.FQ1, args.FQ2, k=args.k, out=out, threads=args.threads)
+        map_reads(args.GFA, args.FQ1, args.FQ2, k=args.k, out=out,
+                  threads=args.threads, index_cache=args.index)
     return 0
 
 

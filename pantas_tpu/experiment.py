@@ -206,6 +206,7 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
     from pantas_tpu.remap import remap as remap_stage
 
     quant_csv = os.path.join(wd, "quant.csv")
+    pool_w = cfg.get("quant", {}).get("pool_w")
     with open(quant_csv, "w") as out:
         quantify(
             event_csvs[conds[0]],
@@ -213,6 +214,7 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
             both=not bool(cfg.get("quant", {}).get("all", True)),
             min_w=int(cfg.get("quant", {}).get("w", 0)),
             out=out,
+            pool_w=int(pool_w) if pool_w is not None else None,
         )
     remap_csv = os.path.join(wd, "quant-remap.csv")
     with open(remap_csv, "w") as out:

@@ -204,6 +204,69 @@ def main():
                 if etype in ("ES", "CE", "IR", "A3", "A5", "ALL"):
                     print(f"| {cut} | {etype} | {tp} | {fp} | {fn} | {p} | {r} | {f1} |")
 
+        # pooled-replicate quant (quant --pool-w, VERDICT r4 task 4):
+        # ONE call pass at w=0 (events with their coverages reach quant),
+        # then the pooled threshold replaces the per-replicate drop. The
+        # second pooled w reuses the first's w=0 events CSVs (hardlinks).
+        # Opt-in (PANTAS_SIM_POOLED=1) — it adds a full w=0 call pass.
+        if mode == "anno" and os.environ.get("PANTAS_SIM_POOLED"):
+            pool_first = None
+            for w in WS:
+                run_wd = WD / f"run_anno_pool_w{w}"
+                if not run_wd.exists():
+                    run_wd.mkdir()
+                    src = pool_first or mode_first
+                    for name in os.listdir(src):
+                        link = (
+                            name.endswith(".gaf")
+                            or name == "pantranscriptome-annotated.gfa"
+                            or (pool_first and name.endswith(".events.csv"))
+                        )
+                        if link:
+                            os.link(src / name, run_wd / name)
+                cfg = {
+                    "fa": str(fa),
+                    "gtf": mode_gtf,
+                    "vcf": str(vcf),
+                    "workdir": str(run_wd),
+                    "build": {"hp": 0, "exclude_sample": SAMPLE},
+                    "conditions": {"c1": rep_fqs("c1"), "c2": rep_fqs("c2")},
+                    "call": {"w": 0, "novel": False, "minintronsize": 20},
+                    "quant": {"all": True, "pool_w": w},
+                    "remap": {"min_intron_size": 20},
+                    "eval": {
+                        "truth": f"{prefix}_truth.csv",
+                        "min_dpsi": 0.05,
+                        "relax": 5,
+                        "cuts": [1, 3, 5, 10, 20],
+                    },
+                    "threads": 2,
+                }
+                cfg_path = WD / f"exp_anno_pool_w{w}.json"
+                cfg_path.write_text(json.dumps(cfg, indent=2))
+                result = run_experiment(str(cfg_path))
+                if pool_first is None:
+                    pool_first = run_wd
+                shutil.copy(
+                    result["scores_by_cut_csv"], WD / f"scores_anno_pool_w{w}.csv"
+                )
+                rows = [
+                    l.strip("\n").split(",")
+                    for l in open(result["scores_by_cut_csv"])
+                ][1:]
+                print(
+                    f"\n### Sim accuracy (anno mode, POOLED quant: call w=0 + "
+                    f"quant --pool-w {w}, held-out {SAMPLE}, {N_EVENTS} events, "
+                    f"{REPLICATES} reps"
+                    + (f", dPSI={DPSI:g}, err={ERROR:g}" if HARD else "")
+                    + ")\n"
+                )
+                print("| cut | etype | TP | FP | FN | precision | recall | F1 |")
+                print("|---|---|---|---|---|---|---|---|")
+                for cut, etype, tp, fp, fn, pr_, r, f1 in rows:
+                    if etype in ("ES", "CE", "IR", "A3", "A5", "ALL"):
+                        print(f"| {cut} | {etype} | {tp} | {fp} | {fn} | {pr_} | {r} | {f1} |")
+
         # P/R panel across every -w of this mode (plot_pr.py equivalent)
         try:
             from pantas_tpu.eval.plots import (

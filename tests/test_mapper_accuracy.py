@@ -63,3 +63,36 @@ def test_native_and_python_mapq_identical(example_graph):
             continue
         assert aln is not None
         assert hit[0] == alignment_to_gaf(index, tr.name, tr.seq, aln)
+
+
+def test_index_cache_roundtrip(example_graph, tmp_path):
+    """map --index: the persisted index must produce byte-identical GAF
+    (cold build+save vs warm mmap load), and staleness (changed GFA
+    mtime/size) must force a rebuild."""
+    import io
+    import os
+
+    from pantas_tpu.mapping.mapper import map_reads
+
+    ex = "/root/reference/example"
+    cache = str(tmp_path / "idx")
+
+    def run():
+        buf, log = io.StringIO(), io.StringIO()
+        map_reads(
+            str(example_graph), f"{ex}/reads_1.fq", f"{ex}/reads_2.fq",
+            out=buf, log=log, index_cache=cache,
+        )
+        return buf.getvalue(), log.getvalue()
+
+    cold, log1 = run()
+    assert "index cached ->" in log1
+    warm, log2 = run()
+    assert "index cache hit" in log2
+    assert warm == cold
+
+    # stale: touch the GFA -> mtime changes -> rebuild, same bytes
+    os.utime(example_graph)
+    re, log3 = run()
+    assert "index cache hit" not in log3
+    assert re == cold
