@@ -123,23 +123,45 @@ def load_graph_meta(gfa_path: str) -> Dict[str, NodeMeta]:
 
 
 def _boundary_events(rec, meta: Dict[str, NodeMeta], min_clip: int):
-    """Yield ('start'|'end', node, fwd_offset, clip_len) for one record."""
+    """Yield ('start'|'end', node, fwd_offset, clip_len) for one record.
+
+    The first/last ALIGNED base can sit in an interior step of the walk:
+    spliced joins emit walks whose terminal node has zero aligned span
+    (the alignment ends exactly at a node boundary — e.g. an inclusion
+    read of a novel cassette exon whose clipped arm made the aligner
+    keep the skip-edge node with no covered bases). Locate the covered
+    node by cumulative step lengths instead of assuming the terminal
+    steps — discarding these records silenced the donor-side CE piles.
+    """
     path = rec.path
     rev = path[0] == "<"
     steps = path.split("<" if rev else ">")[1:]
     if not steps:
         return
-    first, last = steps[0], steps[-1]
-    if first not in meta or last not in meta:
-        return
-    len_first, len_last = meta[first].length, meta[last].length
+    lens = []
+    for s in steps:
+        m = meta.get(s)
+        if m is None:
+            return
+        lens.append(m.length)
     # walk-local coords of the first/last aligned base
     ws = rec.path_start
-    we = rec.path_end - 1 - (rec.path_len - len_last)
-    if ws >= len_first or we < 0:  # inconsistent record
+    we_abs = rec.path_end - 1
+    cum = [0]
+    for ln in lens:
+        cum.append(cum[-1] + ln)
+    if not (0 <= ws <= we_abs < cum[-1]):
         return
-    fs = (len_first - 1 - ws) if rev else ws
-    fe = (len_last - 1 - we) if rev else we
+    from bisect import bisect_right
+
+    i = bisect_right(cum, ws) - 1
+    j = bisect_right(cum, we_abs) - 1
+    off_s = ws - cum[i]
+    off_e = we_abs - cum[j]
+    first, last = steps[i], steps[j]
+    len_first, len_last = lens[i], lens[j]
+    fs = (len_first - 1 - off_s) if rev else off_s
+    fe = (len_last - 1 - off_e) if rev else off_e
     clip_head = rec.query_start
     clip_tail = rec.query_len - rec.query_end
     if not rev:

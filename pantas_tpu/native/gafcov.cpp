@@ -1401,26 +1401,42 @@ void clipsites_line(ClipSites &C, const char *line, const char *lend,
   char sep = *ps;
   if (sep != '>' && sep != '<') return;
   bool rev = sep == '<';
-  // first and last RAW step tokens (same as path.split(sep)[1:] ends)
-  const char *fs_s = ps + 1;
-  const char *fs_e = fs_s;
-  while (fs_e < pe && *fs_e != sep) ++fs_e;
-  const char *ls_s = pe;
-  while (ls_s > ps && ls_s[-1] != sep) --ls_s;
-  int64_t first_id, last_id;
-  if (!tok_int(fs_s, fs_e, first_id) || !tok_int(ls_s, pe, last_id)) return;
-  auto itf = C.nlen.find(first_id);
-  auto itl = C.nlen.find(last_id);
-  if (itf == C.nlen.end() || itl == C.nlen.end()) return;
-  int64_t len_first = itf->second, len_last = itl->second;
+  // walk ALL steps: the first/last ALIGNED base can sit in an interior
+  // node (spliced joins emit walks whose terminal node has zero aligned
+  // span — see events/sites.py::_boundary_events), so locate the covered
+  // nodes by cumulative step lengths
+  int64_t ids[512];
+  int64_t cum[513];
+  int nsteps = 0;
+  cum[0] = 0;
+  const char *sp = ps + 1;
+  while (sp < pe) {
+    const char *se = sp;
+    while (se < pe && *se != sep) ++se;
+    int64_t id;
+    if (!tok_int(sp, se, id) || nsteps >= 512) return;
+    auto it = C.nlen.find(id);
+    if (it == C.nlen.end()) return;
+    ids[nsteps] = id;
+    cum[nsteps + 1] = cum[nsteps] + it->second;
+    ++nsteps;
+    sp = se < pe ? se + 1 : pe;
+  }
+  if (nsteps == 0) return;
 
   int64_t qlen = f[1].as_int(), qstart = f[2].as_int(), qend = f[3].as_int();
-  int64_t plen = f[6].as_int(), pstart = f[7].as_int(), pend = f[8].as_int();
+  int64_t pstart = f[7].as_int(), pend = f[8].as_int();
   int64_t ws = pstart;
-  int64_t we = pend - 1 - (plen - len_last);
-  if (ws >= len_first || we < 0) return;
-  int64_t fs = rev ? len_first - 1 - ws : ws;
-  int64_t fe = rev ? len_last - 1 - we : we;
+  int64_t we_abs = pend - 1;
+  if (ws < 0 || we_abs < ws || we_abs >= cum[nsteps]) return;
+  int i = 0, j = nsteps - 1;
+  while (cum[i + 1] <= ws) ++i;
+  while (cum[j] > we_abs) --j;
+  int64_t first_id = ids[i], last_id = ids[j];
+  int64_t len_first = cum[i + 1] - cum[i], len_last = cum[j + 1] - cum[j];
+  int64_t off_s = ws - cum[i], off_e = we_abs - cum[j];
+  int64_t fs = rev ? len_first - 1 - off_s : off_s;
+  int64_t fe = rev ? len_last - 1 - off_e : off_e;
   int64_t clip_head = qstart;
   int64_t clip_tail = qlen - qend;
   C.accepted++;

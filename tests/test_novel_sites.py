@@ -363,3 +363,41 @@ def test_cassette_exon_candidate_pairing(tmp_path):
     gaf4.write_text("\n".join(onesided) + "\n")
     rows = quantify_sites([str(gaf4)], [str(gaf2)], str(gfa), str(gtf))
     assert not any(r.startswith("CE,") for r in rows)
+
+
+def test_zero_span_terminal_node_attributes_boundary(tmp_path):
+    """Regression (r5): spliced joins can emit walks whose terminal node
+    has ZERO aligned span (alignment ends exactly at a node boundary, the
+    walk still lists the next node). The clip boundary must attach to the
+    last COVERED node — discarding these records silenced the donor-side
+    cassette-exon piles at genome scale. Both scanner engines."""
+    from pantas_tpu.events.sites import detect_novel_sites
+
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAAAAAAAAAA\n"
+        "S\t2\tCCCCCCCCCC\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "P\tchrZ\t1+,2+\t*\n"
+    )
+    lines = []
+    for i in range(3):
+        # aligned span ends at node 1's boundary (pend=10) but the walk
+        # includes node 2 (zero aligned bases there); 30 bp tail clip
+        lines.append(f"z{i}\t100\t0\t70\t+\t>1>2\t20\t3\t10\t7\t7\t60\tcs:Z::7")
+    for i in range(3):
+        # symmetric head case: alignment starts at node 2's first base,
+        # walk still lists node 1 (zero aligned bases); 30 bp head clip
+        lines.append(f"h{i}\t100\t30\t100\t+\t>1>2\t20\t10\t16\t6\t6\t60\tcs:Z::6")
+    gaf = tmp_path / "z.gaf"
+    gaf.write_text("\n".join(lines) + "\n")
+
+    for engine in ("host", "native"):
+        rows = detect_novel_sites(
+            str(gaf), str(gfa), w=3, include_boundary=True, engine=engine
+        )
+        # end pile at node 1 offset 9 (its last base), genomic pos 10
+        assert "chrZ,10,end,1,9,3,30,0,." in rows, (engine, rows)
+        # start pile at node 2 offset 0, genomic pos 11
+        assert "chrZ,11,start,2,0,3,30,0,." in rows, (engine, rows)
