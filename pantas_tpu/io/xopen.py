@@ -74,6 +74,15 @@ def xopen(path, mode: str = "rt", **kw):
 
 
 def _inflate_to(path: str, out_fh) -> None:
+    if str(path).endswith(".gz") and shutil.which("gzip"):
+        # the C inflater sustains ~2x the Python gzip-module loop on
+        # multi-GB artifacts (measured on the 4.1 GB augmented GFA)
+        import subprocess
+
+        rc = subprocess.run(["gzip", "-dc", str(path)], stdout=out_fh).returncode
+        if rc != 0:
+            raise IOError(f"gzip -dc failed on {path} ({rc})")
+        return
     with xopen(path, "rb") as src:
         shutil.copyfileobj(src, out_fh, 1 << 22)
 
