@@ -699,24 +699,32 @@ def _cmd_replicate(argv):
     from pantas_tpu.events import CallOptions, call_events
     from pantas_tpu.events.caller import SplicingGraph
 
-    counts = None
+    graph = None
     try:
         from pantas_tpu.graph.compiler import compile_gfa
         from pantas_tpu.native import NativeCoverage
 
-        eng = NativeCoverage(compile_gfa(args.GFA))
+        tensors = compile_gfa(args.GFA)
+        eng = NativeCoverage(tensors)
         eng.process_file(args.GAF, args.mapq, threads=args.threads)
-        counts = eng.to_counts()
+        rejected = int(eng.lib.gafcov_rejected(eng.handle))
+        # counts apply straight from the engine's vector — no
+        # CoverageCounts dict materialization (see from_engine)
+        graph = SplicingGraph.from_engine(args.GFA, tensors, eng)
     except Exception as e:
         print(f"[replicate] native engine unavailable ({e}); host fallback", file=sys.stderr)
         from pantas_tpu.coverage.host import accumulate_gaf, load_node_lengths
 
         node_len = load_node_lengths(args.GFA)
-        with open(args.GAF) as fh:
-            counts = accumulate_gaf(fh, node_len, args.mapq)
-    print(f"Rejected alignments: {counts.rejected}", file=sys.stderr)
+        from pantas_tpu.io.xopen import xopen
 
-    graph = SplicingGraph.from_coverage(args.GFA, counts)
+        with xopen(args.GAF) as fh:
+            counts = accumulate_gaf(fh, node_len, args.mapq)
+        rejected = counts.rejected
+    print(f"Rejected alignments: {rejected}", file=sys.stderr)
+
+    if graph is None:
+        graph = SplicingGraph.from_coverage(args.GFA, counts)
     events = []
     for e in args.events:
         events.extend(e.split(","))

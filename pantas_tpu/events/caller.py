@@ -165,6 +165,57 @@ class SplicingGraph:
         return g
 
     @classmethod
+    def from_engine(cls, gfa_path: str, tensors, eng) -> "SplicingGraph":
+        """Fused-pipeline constructor from the NATIVE engine's state.
+
+        Equivalent to ``from_coverage(gfa_path, eng.to_counts())`` but
+        without materializing the CoverageCounts dicts: ``to_counts``
+        builds NC/IL/OL/edge dicts over every node (13.6 s at 5.5M
+        nodes, most of it for the IL/OL histograms the caller never
+        reads), and ``from_coverage`` then walks all 5.5M segments
+        again. Here only the NONZERO counts-vector entries apply (same
+        values), and novel links append in the engine's first-seen
+        sidecar order (the same order ``to_counts`` records).
+        """
+        import numpy as np
+
+        g = cls.from_gfa(gfa_path)
+        vec = eng.counts_vector()
+        t = tensors
+        names = t.node_names
+        # NC: explicit 0 everywhere first — None means "un-augmented
+        # graph" to the caller (SegInfo.nc docstring) and an emitted
+        # augmented GFA tags NC:i:0 on every node
+        for info in g.seg.values():
+            info.nc = 0
+        nc_part = vec[: t.n_nodes]
+        for i in np.nonzero(nc_part)[0]:
+            g.seg[names[int(i)]].nc = int(nc_part[i])
+        # RC: every known link gets an explicit 0 first (an emitted
+        # augmented GFA tags RC:i:0, so the staged parse never sees None)
+        for li in g.link.values():
+            li.rc = 0
+        # then overwrite the nonzero rc slots via the edge table
+        rc_part = vec[t.rc_base : t.rc_base + t.n_edges]
+        for e in np.nonzero(rc_part)[0]:
+            a = names[int(t.edge_src[e])]
+            b = names[int(t.edge_dst[e])]
+            g.link[(a, b)].rc = int(rc_part[e])
+        # novel links in first-seen order
+        keys, vals, _poss = eng.novel_sidecar()
+        for k, w in zip(keys, vals):
+            a = names[int(k >> np.uint64(32))]
+            b = names[int(k & np.uint64(0xFFFFFFFF))]
+            li = LinkInfo(rc=int(w), novel=True)
+            g.link[(a, b)] = li
+            g.seg[a].outgoing.append(b)
+            g.seg[b].incoming.append(a)
+            g.novel_junctions.add((a, b))
+            g.nj_by_head.setdefault(a, set()).add((a, b))
+            g.nj_by_tail.setdefault(b, set()).add((a, b))
+        return g
+
+    @classmethod
     def from_gfa(cls, gfa_path: str) -> "SplicingGraph":
         """Parse an (augmented) GFA; native C loader when available.
 
