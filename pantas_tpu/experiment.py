@@ -118,19 +118,23 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
                 os.replace(gaf + ".tmp", gaf)
             if tensors is None:
                 tensors = compile_gfa(gfa)
+            graph = None
             try:
                 from pantas_tpu.native import NativeCoverage
 
                 eng = NativeCoverage(tensors)
                 eng.process_file(gaf, threads=threads)
-                counts = eng.to_counts()
+                # counts apply straight from the engine vector (no
+                # CoverageCounts dict materialization — caller.from_engine)
+                graph = SplicingGraph.from_engine(gfa, tensors, eng)
             except Exception as e:
                 _log(f"{tag}: native coverage unavailable ({e}); host path", log)
                 from pantas_tpu.coverage.host import accumulate_gaf, load_node_lengths
 
                 with open(gaf) as fh:
                     counts = accumulate_gaf(fh, load_node_lengths(gfa))
-            graph = SplicingGraph.from_coverage(gfa, counts)
+            if graph is None:
+                graph = SplicingGraph.from_coverage(gfa, counts)
             with open(events_csv + ".tmp", "w") as out:
                 for row in call_events(gfa, gtf, opts, graph=graph, log=log):
                     print(row, file=out)
