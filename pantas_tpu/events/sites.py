@@ -648,6 +648,28 @@ def _ce_rows(
     bp1 = pile_positions(p1)
     bp2 = pile_positions(p2)
 
+    # skip-junction traversals aggregated by the junction's GENOMIC
+    # boundary positions: variant bubbles put several node copies at one
+    # position, and the pile's recorded node need not be the copy the
+    # skip reads traverse — a raw node-pair probe then reads 0 and the
+    # event dies at the |dpsi| filter (measured: 5 of 25 truth CEs)
+    def pair_pos_counts(pr):
+        out: Dict[Tuple[str, int, int], int] = {}
+        for (a, b), n in pr.items():
+            ma, mb = meta.get(a), meta.get(b)
+            if (
+                ma is None or mb is None
+                or ma.gchrom is None or mb.gchrom is None
+                or ma.gchrom != mb.gchrom
+            ):
+                continue
+            key = (ma.gchrom, ma.gstart + ma.length - 1, mb.gstart)
+            out[key] = out.get(key, 0) + n
+        return out
+
+    pp1 = pair_pos_counts(pr1)
+    pp2 = pair_pos_counts(pr2)
+
     def find(bp, side, chrom, pos):
         for d in range(-tol, tol + 1):
             hit = bp.get((side, chrom, pos + d))
@@ -678,8 +700,8 @@ def _ce_rows(
             continue
         clip1 = ((e1 or [0])[0] + (s1 or [0])[0]) / 2
         clip2 = ((e2 or [0])[0] + (s2 or [0])[0]) / 2
-        skip1 = pr1.get((node_d, node_a), 0)
-        skip2 = pr2.get((node_d, node_a), 0)
+        skip1 = pp1.get((chrom, d_end, a_start)) or pr1.get((node_d, node_a), 0)
+        skip2 = pp2.get((chrom, d_end, a_start)) or pr2.get((node_d, node_a), 0)
 
         def psi(skip, incl):
             return skip / (skip + incl) if skip + incl > 0 else -1
