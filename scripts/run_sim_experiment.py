@@ -390,7 +390,11 @@ def score_novel_sites(wd, prefix, tol=3, run_dir=None):
         c2 = sorted(str(p) for p in run_dir.glob("c2_r*.gaf"))
         if c1 and c2:
             rows = [r.split(",") for r in quantify_sites(c1, c2, str(gfa), gtf)]
-            kept = [r for r in rows if abs(float(r[11])) >= 0.05]
+            all_kept = [r for r in rows if abs(float(r[11])) >= 0.05]
+            # CE rows are scored in their own section below — keeping
+            # them in this A3/A5 precision denominator counted every
+            # (true) CE row as an A3/A5 false positive
+            kept = [r for r in all_kept if r[0] != "CE"]
             qhits = matched = 0
             for (et, gene), pos in etruth.items():
                 if any(
@@ -427,7 +431,7 @@ def score_novel_sites(wd, prefix, tol=3, run_dir=None):
                 if row["etype"] == "CE":
                     i_s, i_e = map(int, row["region1"].split(":")[1].split("-"))
                     ce_truth[row["gene"]] = (i_s - 1, i_e + 1)
-            ce_rows = [r for r in kept if r[0] == "CE"]
+            ce_rows = [r for r in all_kept if r[0] == "CE"]
             if ce_truth:
                 def ce_match(r, gene, d, a):
                     return (
