@@ -473,12 +473,14 @@ def augment_gfa_device_native(
 
     print("Augmentation by GAF alignments (native parse -> device)", file=log)
     sess = eng.slots_begin(gaf_path, start_offset, -1, mapq_thr)
+    end_pos = start_offset
     try:
         batches = 0
         while True:
             buf = np.empty(flush_every, dtype=np.int32)
             n = eng.slots_next(sess, buf)
             if n == 0:
+                end_pos = eng.slots_pos(sess)
                 break
             if n < flush_every:
                 buf[n:] = -1  # pad the final partial batch
@@ -502,9 +504,12 @@ def augment_gfa_device_native(
     finally:
         eng.slots_end(sess)
     if checkpoint_path:
+        # EOF marker offset must be the parser's own end position —
+        # os.path.getsize is the COMPRESSED size for a .gz input, which
+        # as a decompressed-stream offset would make a resume-after-
+        # completion re-parse (and double-count) the tail
         _save_native_checkpoint(
-            checkpoint_path, dev, eng, tensors,
-            os.path.getsize(gaf_path), base_sidecars,
+            checkpoint_path, dev, eng, tensors, end_pos, base_sidecars,
         )
 
     if base_sidecars:

@@ -184,3 +184,63 @@ def test_cli_augment_gz_output_and_inputs(tmp_path):
     gz_gaf = _gz(tmp_path / "m.gaf.gz", MICRO_GAF)
     gz_gfa = _gz(tmp_path / "m.gfa.gz", MICRO_GFA)
     assert run(["augment", gz_gaf, gz_gfa]) == plain_aug
+
+
+def test_checkpoint_resume_on_gz_gaf(tmp_path):
+    """Checkpoint offsets are defined on the DECOMPRESSED stream, so an
+    interrupt/resume cycle over a gz GAF must reproduce the plain run's
+    emission byte-for-byte."""
+    import os
+
+    from pantas_tpu.coverage.device import augment_gfa_device_native
+
+    gfa, gaf = write_micro(tmp_path)
+    big_text = open(gaf).read() * 20
+    big_gz = _gz(tmp_path / "big.gaf.gz", big_text)
+    plain = tmp_path / "big.gaf"
+    plain.write_text(big_text)
+    expected = io.StringIO()
+    augment_gfa(str(plain), str(gfa), out=expected, log=io.StringIO())
+
+    ck = str(tmp_path / "ck.pkl")
+    r = augment_gfa_device_native(
+        big_gz, str(gfa), out=io.StringIO(), flush_every=64,
+        checkpoint_path=ck, checkpoint_every=1, _stop_after=1,
+        log=io.StringIO(),
+    )
+    assert r is None and os.path.exists(ck)
+    buf = io.StringIO()
+    augment_gfa_device_native(
+        big_gz, str(gfa), out=buf, flush_every=64,
+        checkpoint_path=ck, resume=True, log=io.StringIO(),
+    )
+    assert buf.getvalue() == expected.getvalue()
+
+
+def test_resume_after_completion_gz_is_noop(tmp_path):
+    """The FINAL checkpoint's offset must be the parser's decompressed
+    end position (not the compressed file size): a resume after a
+    completed gz run must re-add NOTHING and emit identically."""
+    from pantas_tpu.coverage.device import augment_gfa_device_native
+
+    gfa, gaf = write_micro(tmp_path)
+    big_text = open(gaf).read() * 10
+    big_gz = _gz(tmp_path / "big.gaf.gz", big_text)
+    plain = tmp_path / "big.gaf"
+    plain.write_text(big_text)
+    expected = io.StringIO()
+    augment_gfa(str(plain), str(gfa), out=expected, log=io.StringIO())
+
+    ck = str(tmp_path / "ck.pkl")
+    first = io.StringIO()
+    augment_gfa_device_native(
+        big_gz, str(gfa), out=first, flush_every=64,
+        checkpoint_path=ck, log=io.StringIO(),
+    )
+    assert first.getvalue() == expected.getvalue()
+    again = io.StringIO()
+    augment_gfa_device_native(
+        big_gz, str(gfa), out=again, flush_every=64,
+        checkpoint_path=ck, resume=True, log=io.StringIO(),
+    )
+    assert again.getvalue() == expected.getvalue()
