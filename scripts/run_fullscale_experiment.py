@@ -219,7 +219,7 @@ def main():
                 f"map {tag}", f"map.{tag}.time",
                 [PY, "-m", "pantas_tpu", "map", str(gfa),
                  str(reads / f"{tag}_1.fq"), str(reads / f"{tag}_2.fq"),
-                 "-t", "2"],
+                 "-t", "2", "--index", str(WD / "mapidx")],
                 stdout_path=str(gaf) + ".tmp",
             )
             os.replace(str(gaf) + ".tmp", gaf)
