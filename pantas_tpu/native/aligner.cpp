@@ -8,6 +8,9 @@
 
 #include <time.h>
 #include <unistd.h>
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
 #include <algorithm>
 #include <cctype>
 #include <cmath>
@@ -181,30 +184,95 @@ void seed(const Aligner &A, const char *read, int64_t L, int64_t qlo,
   }
 }
 
-// Kadane max-identity window; fills piece (no ops — recomputed at emit)
+// Kadane max-identity window; fills piece (no ops — recomputed at emit).
+// The per-byte score chain is equivalent to a segment scan over mismatch
+// positions: inside a match run the score rises monotonically (best can
+// only move at run ends), and it only drops/resets at mismatches — so we
+// extract the mismatch positions with 16-byte SSE2 compares and run
+// Kadane over the (few) mismatches instead of every byte. Bit-identical
+// window selection by construction; additionally byte-verified against
+// the scalar loop on a 1M-read genome GAF.
 bool extend(const Aligner &A, const char *read, int pid, int64_t diag,
             int64_t qlo, int64_t qhi, Piece &out) {
   const char *ps = A.pseq(pid);
   int64_t lo = std::max(qlo, -diag);
   int64_t hi = std::min(qhi, A.plen(pid) - diag);
   if (hi - lo <= 0) return false;
+
+  // mismatch positions in [lo, hi)
+  int64_t mm[512];
+  int nmm = 0;
+  int64_t i = lo;
+#if defined(__SSE2__)
+  for (; i + 16 <= hi && nmm + 16 <= 512; i += 16) {
+    __m128i a = _mm_loadu_si128((const __m128i *)(read + i));
+    __m128i b = _mm_loadu_si128((const __m128i *)(ps + diag + i));
+    unsigned mask = 0xFFFFu ^ (unsigned)_mm_movemask_epi8(_mm_cmpeq_epi8(a, b));
+    while (mask) {
+      int bit = __builtin_ctz(mask);
+      mm[nmm++] = i + bit;
+      mask &= mask - 1;
+    }
+  }
+#endif
+  for (; i < hi && nmm < 512; ++i)
+    if (read[i] != ps[diag + i]) mm[nmm++] = i;
+  if (i < hi) {
+    // pathological mismatch density beyond the buffer: scalar fallback
+    int64_t best_s = lo, best_e = lo, cur_s = lo;
+    int64_t best_score = 0, cur = 0;
+    for (int64_t k = lo; k < hi; ++k) {
+      cur += (read[k] == ps[diag + k]) ? 1 : -MISMATCH_PENALTY;
+      if (cur > best_score) { best_score = cur; best_s = cur_s; best_e = k + 1; }
+      if (cur < 0) { cur = 0; cur_s = k + 1; }
+    }
+    if (best_e <= best_s) return false;
+    int64_t mism = 0;
+    for (int64_t k = best_s; k < best_e; ++k)
+      if (read[k] != ps[diag + k]) ++mism;
+    out.path = pid;
+    out.qstart = best_s;
+    out.qend = best_e;
+    out.pstart = diag + best_s;
+    out.pend = diag + best_e;
+    out.mism = mism;
+    return true;
+  }
+
   int64_t best_s = lo, best_e = lo, cur_s = lo;
   int64_t best_score = 0, cur = 0;
-  for (int64_t i = lo; i < hi; ++i) {
-    cur += (read[i] == ps[diag + i]) ? 1 : -MISMATCH_PENALTY;
-    if (cur > best_score) { best_score = cur; best_s = cur_s; best_e = i + 1; }
-    if (cur < 0) { cur = 0; cur_s = i + 1; }
+  int64_t prev = lo;
+  int best_mm_hi = 0;  // mismatches before best_e
+  for (int k = 0; k <= nmm; ++k) {
+    int64_t m = (k < nmm) ? mm[k] : hi;
+    int64_t run = m - prev;  // matches since prev
+    if (run > 0) {
+      cur += run;
+      if (cur > best_score) {
+        best_score = cur;
+        best_s = cur_s;
+        best_e = m;
+        best_mm_hi = k;
+      }
+    }
+    if (k == nmm) break;
+    cur -= MISMATCH_PENALTY;
+    if (cur < 0) {
+      cur = 0;
+      cur_s = m + 1;
+    }
+    prev = m + 1;
   }
   if (best_e <= best_s) return false;
-  int64_t mism = 0;
-  for (int64_t i = best_s; i < best_e; ++i)
-    if (read[i] != ps[diag + i]) ++mism;
+  // mismatches inside [best_s, best_e)
+  int mm_lo = 0;
+  while (mm_lo < nmm && mm[mm_lo] < best_s) ++mm_lo;
   out.path = pid;
   out.qstart = best_s;
   out.qend = best_e;
   out.pstart = diag + best_s;
   out.pend = diag + best_e;
-  out.mism = mism;
+  out.mism = best_mm_hi - mm_lo;
   return true;
 }
 
