@@ -623,7 +623,10 @@ def augment_gfa_device(
     if enc.slots:
         flush()
     if checkpoint_path:
-        _save_checkpoint(checkpoint_path, enc, dev, os.path.getsize(gaf_path))
+        # EOF marker = the reader's decompressed end offset (getsize is
+        # the COMPRESSED size for a .gz input — a resume from it would
+        # re-parse and double-count the tail)
+        _save_checkpoint(checkpoint_path, enc, dev, pos)
 
     counts = counts_from_device(tensors, enc, dev.result())
     print(f"Rejected alignments: {counts.rejected}", file=log)

@@ -328,6 +328,7 @@ def pick_scatter_endtoend(
         # fall through and re-run the race.
         unexplored_big_stage = (
             "pallas-sorted" not in stats
+            and not verdict[key].get("explored")
             and "xla" in stats
             and batches_hint is not None
             and batches_hint * statistics.median(stats["xla"]["times"])
@@ -389,7 +390,9 @@ def pick_scatter_endtoend(
             _ = np.asarray(xs["counts"][:8])
             xs["times"].append(time.time() - t0)
         explore = batches_hint * statistics.median(xs["times"]) >= EXPLORE_BUDGET_S
+    explored = False
     if explore or not stats:
+        explored = True
         st = measure("pallas-sorted")
         if st is not None:
             stats["pallas-sorted"] = st
@@ -414,6 +417,10 @@ def pick_scatter_endtoend(
     name = _decide(stats, batches_hint)
     verdict[key] = {
         "impl": name,  # decision at race time (informational)
+        # whether the Pallas candidate was ATTEMPTED — a candidate that
+        # failed to verify leaves no stats, and without this flag every
+        # later big-stage call would re-race (and re-fail) forever
+        "explored": explored,
         "batches_hint": batches_hint,
         "stats": {
             k: {

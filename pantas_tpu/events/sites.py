@@ -86,9 +86,11 @@ def load_graph_meta(gfa_path: str) -> Dict[str, NodeMeta]:
     sub-paths (whose positions are sub-path-local — they restart at 1
     per sub-path); reverse-oriented steps are skipped rather than mapped
     to wrong coordinates (the walk position still advances)."""
+    from pantas_tpu.io.xopen import xopen
+
     meta: Dict[str, NodeMeta] = {}
     ref_paths: List[Tuple[str, List[str]]] = []
-    with open(gfa_path) as fh:
+    with xopen(gfa_path) as fh:
         for line in fh:
             c = line[0]
             if c == "S":
@@ -179,8 +181,10 @@ def _boundary_events(rec, meta: Dict[str, NodeMeta], min_clip: int):
 
 
 def _scan_python(gaf_path, meta, min_clip, mapq_thr, max_dv):
+    from pantas_tpu.io.xopen import xopen
+
     piles: Dict[Tuple[str, str, int], List[int]] = {}  # (side,node,off) -> [n, clipmax]
-    with open(gaf_path) as fh:
+    with xopen(gaf_path) as fh:
         for line in fh:
             if not line.strip():
                 continue
@@ -457,7 +461,8 @@ def quantify_sites(
     # exon start): clip termini within +-3 of one are canonical
     exon_ends: Dict[str, set] = {}
     exon_starts: Dict[str, set] = {}
-    for tr in parse_transcript_models(gtf_path).values():
+    models = parse_transcript_models(gtf_path)
+    for tr in models.values():
         for s0, e0 in tr.exons:
             exon_starts.setdefault(tr.chrom, set()).add(s0)
             exon_ends.setdefault(tr.chrom, set()).add(e0)
@@ -579,7 +584,7 @@ def quantify_sites(
 
     rows.extend(
         _ce_rows(
-            meta, t2g, genestrand, gtf_path, p1, p2, pr1, pr2,
+            meta, t2g, genestrand, models, p1, p2, pr1, pr2,
             w=w, ce_min_clip=ce_min_clip, tol=canonical_tol // 2,
         )
     )
@@ -593,7 +598,7 @@ def quantify_sites(
 
 
 def _ce_rows(
-    meta, t2g, genestrand, gtf_path, p1, p2, pr1, pr2,
+    meta, t2g, genestrand, models, p1, p2, pr1, pr2,
     w: int = 3, ce_min_clip: int = 25, tol: int = 3,
 ):
     """Cassette-exon candidates from PAIRED canonical-boundary pile-ups.
@@ -623,12 +628,12 @@ def _ce_rows(
     (adjacency donor-node -> acceptor-node in the walks), event =
     (clip_donor + clip_acceptor) / 2; psi = canonic/(canonic+event).
     """
-    from pantas_tpu.io.gtf import parse_transcript_models
-
     # annotated introns between consecutive exons: (chrom, donor_end,
-    # acceptor_start) -> transcript strand
+    # acceptor_start) -> transcript strand (models = the caller's
+    # already-parsed transcript models; re-parsing the GTF here paid a
+    # second full-file scan per quant invocation)
     introns: Dict[Tuple[str, int, int], str] = {}
-    for tr in parse_transcript_models(gtf_path).values():
+    for tr in models.values():
         exons = sorted(tr.exons)
         for (s0, e0), (s1, _e1) in zip(exons, exons[1:]):
             introns.setdefault((tr.chrom, e0, s1), tr.strand)

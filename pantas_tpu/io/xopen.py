@@ -65,7 +65,12 @@ def xopen(path, mode: str = "rt", **kw):
         binary = "b" in mode
         if "r" in mode:
             fh = open(p, "rb")
-            stream = _zstd.ZstdDecompressor().stream_reader(fh)
+            # BufferedReader supplies readline()/iteration — the bare
+            # ZstdDecompressionReader raises UnsupportedOperation on
+            # line-oriented binary consumers
+            stream = io.BufferedReader(
+                _zstd.ZstdDecompressor().stream_reader(fh)
+            )
             return stream if binary else io.TextIOWrapper(stream)
         fh = open(p, "wb")
         stream = _zstd.ZstdCompressor().stream_writer(fh)
@@ -121,13 +126,21 @@ def open_stage_output(path):
             wrapper = io.TextIOWrapper(proc.stdin, write_through=True)
             try:
                 yield wrapper
-            finally:
-                with contextlib.suppress(Exception):
-                    wrapper.flush()
-                    wrapper.close()
+                wrapper.flush()
+                wrapper.close()
                 rc = proc.wait()
                 if rc != 0:
                     raise IOError(f"gzip writer exited with {rc}")
+            except BaseException:
+                # body (or flush) failed: close the pipe so gzip exits —
+                # a skipped close would leave proc.wait() blocked — and
+                # re-raise the ORIGINAL exception, not a gzip exit code
+                with contextlib.suppress(Exception):
+                    wrapper.close()
+                with contextlib.suppress(Exception):
+                    proc.kill()
+                proc.wait()
+                raise
         return
     if is_compressed(p):
         with xopen(p, "wt") as fh:

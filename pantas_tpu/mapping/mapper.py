@@ -911,7 +911,10 @@ def save_map_index(index: "PathIndex", aligner: "NativePathAligner",
         "node_ids": node_ids,
     }
     for name, arr in arrays.items():
-        tmp = os.path.join(cache_dir, name + ".npy.tmp")
+        # per-pid tmp: two concurrent cold `map --index DIR` processes
+        # must not interleave writes into one tmp file (os.replace keeps
+        # the publish itself atomic either way)
+        tmp = os.path.join(cache_dir, f"{name}.npy.tmp.{os.getpid()}")
         with open(tmp, "wb") as fh:  # np.save(path) would append .npy
             np.save(fh, arr)
         os.replace(tmp, os.path.join(cache_dir, name + ".npy"))
@@ -924,7 +927,7 @@ def save_map_index(index: "PathIndex", aligner: "NativePathAligner",
         "gfa_size": st.st_size,
         "gfa_mtime": st.st_mtime,
     }
-    tmp = os.path.join(cache_dir, "meta.json.tmp")
+    tmp = os.path.join(cache_dir, f"meta.json.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(cache_dir, "meta.json"))

@@ -1405,8 +1405,12 @@ void clipsites_line(ClipSites &C, const char *line, const char *lend,
   // node (spliced joins emit walks whose terminal node has zero aligned
   // span — see events/sites.py::_boundary_events), so locate the covered
   // nodes by cumulative step lengths
-  int64_t ids[512];
-  int64_t cum[513];
+  int64_t ids_buf[512];
+  int64_t cum_buf[513];
+  int64_t *ids = ids_buf;
+  int64_t *cum = cum_buf;
+  std::vector<int64_t> ids_dyn, cum_dyn;  // rare >512-step walks (the
+  int cap = 512;                          // Python oracle has no cap)
   int nsteps = 0;
   cum[0] = 0;
   const char *sp = ps + 1;
@@ -1414,9 +1418,20 @@ void clipsites_line(ClipSites &C, const char *line, const char *lend,
     const char *se = sp;
     while (se < pe && *se != sep) ++se;
     int64_t id;
-    if (!tok_int(sp, se, id) || nsteps >= 512) return;
+    if (!tok_int(sp, se, id)) return;
     auto it = C.nlen.find(id);
     if (it == C.nlen.end()) return;
+    if (nsteps >= cap) {
+      if (ids_dyn.empty()) {  // first spill from the stack buffers
+        ids_dyn.assign(ids, ids + nsteps);
+        cum_dyn.assign(cum, cum + nsteps + 1);
+      }
+      cap *= 4;
+      ids_dyn.resize(cap);
+      cum_dyn.resize(cap + 1);
+      ids = ids_dyn.data();
+      cum = cum_dyn.data();
+    }
     ids[nsteps] = id;
     cum[nsteps + 1] = cum[nsteps] + it->second;
     ++nsteps;

@@ -205,9 +205,12 @@ def clip_sites_native(
     if not h:
         return None
     try:
-        n = lib.clipsites_process_file(
-            h, str(gaf_path).encode(), mapq_thr, max_dv, min_clip
-        )
+        from pantas_tpu.io.xopen import materialized
+
+        with materialized(gaf_path) as plain:
+            n = lib.clipsites_process_file(
+                h, str(plain).encode(), mapq_thr, max_dv, min_clip
+            )
         if n < 0:
             raise IOError(f"cannot scan {gaf_path}")
         m = lib.clipsites_count(h)

@@ -244,3 +244,59 @@ def test_resume_after_completion_gz_is_noop(tmp_path):
         checkpoint_path=ck, resume=True, log=io.StringIO(),
     )
     assert again.getvalue() == expected.getvalue()
+
+
+def test_novel_sites_gz_inputs(tmp_path):
+    """Code-review r5: the clip-site scanners (python AND native) must
+    accept compressed inputs like every other stage consumer."""
+    from pantas_tpu.events.sites import detect_novel_sites
+
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_novel_sites import GFA as SITES_GFA, _fixture
+
+    gaf, gfa = _fixture(tmp_path)
+    want = detect_novel_sites(str(gaf), str(gfa), w=3)
+    assert want  # fixture produces sites
+
+    gz_gaf = _gz(tmp_path / "a.gaf.gz", open(gaf).read())
+    gz_gfa = _gz(tmp_path / "g.gfa.gz", open(gfa).read())
+    for engine in ("host", "native"):
+        got = detect_novel_sites(gz_gaf, gz_gfa, w=3, engine=engine)
+        assert got == want, engine
+
+
+def test_zst_binary_readline(tmp_path):
+    """Code-review r5: xopen('rb') on .zst must support readline()
+    (BufferedReader wrap) — line-oriented binary consumers crashed."""
+    from pantas_tpu.io.xopen import xopen
+
+    p = _zst(tmp_path / "t.txt.zst", "line1\nline2\n")
+    with xopen(p, "rb") as fh:
+        assert fh.readline() == b"line1\n"
+        assert fh.readline() == b"line2\n"
+
+
+def test_python_device_eof_offset_gz(tmp_path):
+    """Code-review r5: the python-tokenizer device path's FINAL checkpoint
+    must record the decompressed EOF (not the compressed size) — a resume
+    after completion over gz must be a no-op."""
+    from pantas_tpu.coverage.device import augment_gfa_device
+
+    gfa, gaf = write_micro(tmp_path)
+    text = open(gaf).read() * 5
+    gz = _gz(tmp_path / "b.gaf.gz", text)
+    plain = tmp_path / "b.gaf"
+    plain.write_text(text)
+    expected = io.StringIO()
+    augment_gfa(str(plain), str(gfa), out=expected, log=io.StringIO())
+
+    ck = str(tmp_path / "ck2.pkl")
+    first = io.StringIO()
+    augment_gfa_device(gz, str(gfa), out=first, flush_every=8,
+                       checkpoint_path=ck, log=io.StringIO())
+    assert first.getvalue() == expected.getvalue()
+    again = io.StringIO()
+    augment_gfa_device(gz, str(gfa), out=again, flush_every=8,
+                       checkpoint_path=ck, resume=True, log=io.StringIO())
+    assert again.getvalue() == expected.getvalue()
