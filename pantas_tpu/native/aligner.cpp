@@ -881,12 +881,17 @@ int aln_align(void *h, const char *read_in, int64_t L, int64_t *out_meta,
   bool best_rev;
   Gap gap;
   int mapq;
-  static thread_local Phases scratch_ph;
+  Phases scratch_ph;  // merged into A.phases below (the per-read API
+                      // must feed aln_phase_stats like map_file does)
   std::string fwd, rev;
   std::vector<Vote> scratch;
   int best_n =
       align_core(A, read_in, L, best, best_rev, gap, mapq, fwd, rev, scratch,
                  &scratch_ph);
+  {
+    std::lock_guard<std::mutex> g(A.phases_mu);
+    A.phases.add(scratch_ph);
+  }
   if (best_n == 0) return 0;
 
   const char *seq = best_rev ? rev.c_str() : fwd.c_str();

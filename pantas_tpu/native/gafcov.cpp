@@ -352,6 +352,25 @@ void process_line(Engine &E, const char *line, const char *lend, int mapq_thr,
   if (cs_s && cs_e - cs_s >= 5 && strncmp(cs_s, "cs:Z:", 5) == 0) cs_s += 5;
 
   E.cig.clear();
+  // the reference strips EVERY 'cs:Z:' occurrence in the matched tag
+  // (str.replace over the token, alignments_augmentation_from_gaf.py:158),
+  // not just the prefix; interior hits are pathological, so the copy only
+  // happens when one exists
+  std::string cs_scratch;
+  if (cs_s && (size_t)(cs_e - cs_s) >= 5 &&
+      memmem(cs_s, cs_e - cs_s, "cs:Z:", 5) != nullptr) {
+    cs_scratch.reserve(cs_e - cs_s);
+    const char *q = cs_s;
+    while (q < cs_e) {
+      if (cs_e - q >= 5 && memcmp(q, "cs:Z:", 5) == 0) {
+        q += 5;
+      } else {
+        cs_scratch += *q++;
+      }
+    }
+    cs_s = cs_scratch.data();
+    cs_e = cs_s + cs_scratch.size();
+  }
   if (cs_s)
     tokenize_cs(cs_s, cs_e, E.cig);
   else {
@@ -992,7 +1011,13 @@ int64_t gafcov_emit_mt(void *h, const char *gfa_in, int out_fd, int n_threads) {
                      (long long)a, (long long)b, E->novel[key]);
     fwrite(tag, 1, n, out);
   }
-  fclose(out);
+  // surface short writes (ENOSPC, dead pipe): a silently truncated
+  // augmented GFA reported as success corrupts every downstream stage
+  if (ferror(out)) {
+    fclose(out);
+    return -3;
+  }
+  if (fclose(out) != 0) return -3;
   return 0;
 }
 
@@ -1392,8 +1417,8 @@ void clipsites_line(ClipSites &C, const char *line, const char *lend,
         memcpy(tmp, q, n);
         tmp[n] = 0;
         if (strtod(tmp, nullptr) > max_dv) return;
-      }
-      break;
+        break;  // first DIGIT-BEARING match wins (oracle regex semantics);
+      }         // a bare 'dv:f:' literal must not stop the scan
     }
   }
 
@@ -1504,7 +1529,8 @@ int64_t clipsites_process_file(void *h, const char *path, int mapq_thr,
   char *base = (char *)mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
   close(fd);
   if (base == MAP_FAILED) return -1;
-  madvise(base, st.st_size, MADV_SEQUENTIAL | MADV_WILLNEED);
+  madvise(base, st.st_size, MADV_SEQUENTIAL);  // advice is an enum,
+  madvise(base, st.st_size, MADV_WILLNEED);    // not a bitmask
   const char *p = base, *end = base + st.st_size;
   int64_t lines = 0;
   while (p < end) {

@@ -274,6 +274,18 @@ class NativeCoverage:
         self.t = tensors
         try:
             ids = np.asarray([int(n) for n in tensors.node_names], dtype=np.int64)
+            # CANONICAL ids only: '007' would int() onto segment '7' and
+            # silently merge both segments' counts into one slot (and
+            # novel-link emission would print the canonical form, breaking
+            # byte-identity). int() also tolerates '+7'/' 7'/'1_0', so
+            # require plain digits with no leading zero — equivalent to
+            # the str(int(n)) == n round trip but ~3x cheaper at 5.5M
+            # names (same guard events/sites.py claims).
+            if not all(
+                n.isdigit() and (len(n) == 1 or n[0] != "0")
+                for n in tensors.node_names
+            ):
+                raise ValueError("non-canonical integer segment id")
         except ValueError as e:
             raise ValueError("native path requires integer segment ids") from e
         order = np.argsort(ids, kind="stable")
@@ -511,7 +523,6 @@ def augment_gfa_native(
         fd = None
     if fd is not None:
         eng.emit(gfa_path, fd)
-        counts = None
         # stats-only view (emission already done natively)
         counts = CoverageCounts()
         counts.rejected = int(eng.lib.gafcov_rejected(eng.handle))

@@ -260,9 +260,11 @@ struct SRec {
     const char *nid;
     int nid_len;
     long seqlen;
-    long nc;  // -1 = absent
+    long nc;
+    bool has_nc;  // presence flag: NC:i:-1 must load as -1, not None
     const char *ex;
     long ex_len;  // -1 = absent
+    const char *line;  // file position, for L-before-S ordering parity
 };
 
 struct LRec {
@@ -270,10 +272,12 @@ struct LRec {
     int a_len;
     const char *b;
     int b_len;
-    long rc;  // -1 = absent
+    long rc;
+    bool has_rc;  // presence flag (negative RC values are representable)
     const char *jn;
     long jn_len;  // -1 = absent
     bool novel;
+    const char *line;
 };
 
 static inline const char *next_tab(const char *p, const char *end) {
@@ -309,16 +313,20 @@ static void scan_records(const char *data, size_t size, std::vector<SRec> &ss,
             f = t < eol ? t + 1 : eol;
             t = next_tab(f, eol);
             r.seqlen = (long)(t - f);
-            r.nc = -1;
+            r.nc = 0;
+            r.has_nc = false;
             r.ex = NULL;
             r.ex_len = -1;
+            r.line = p;
             // tag fields
             f = t < eol ? t + 1 : eol;
             while (f < eol) {
                 t = next_tab(f, eol);
                 if (t - f >= 5 && f[2] == ':' && f[4] == ':') {
-                    if (f[0] == 'N' && f[1] == 'C' && t - f > 5)
+                    if (f[0] == 'N' && f[1] == 'C' && t - f > 5) {
                         r.nc = parse_long(f + 5, t);
+                        r.has_nc = true;
+                    }
                     else if (f[0] == 'E' && f[1] == 'X') {
                         r.ex = f + 5;
                         r.ex_len = (long)(t - (f + 5));
@@ -343,16 +351,20 @@ static void scan_records(const char *data, size_t size, std::vector<SRec> &ss,
             t = next_tab(f, eol);
             f = t < eol ? t + 1 : eol;       // cigar
             t = next_tab(f, eol);
-            r.rc = -1;
+            r.rc = 0;
+            r.has_rc = false;
             r.jn = NULL;
             r.jn_len = -1;
             r.novel = false;
+            r.line = p;
             f = t < eol ? t + 1 : eol;
             while (f < eol) {
                 t = next_tab(f, eol);
                 if (t - f >= 5 && f[2] == ':' && f[4] == ':') {
-                    if (f[0] == 'R' && f[1] == 'C' && t - f > 5)
+                    if (f[0] == 'R' && f[1] == 'C' && t - f > 5) {
                         r.rc = parse_long(f + 5, t);
+                        r.has_rc = true;
+                    }
                     else if (f[0] == 'J' && f[1] == 'N') {
                         r.jn = f + 5;
                         r.jn_len = (long)(t - (f + 5));
@@ -469,10 +481,18 @@ static PyObject *gfaload_load(PyObject *, PyObject *args) {
     PyObject *nj_by_head = PyDict_New();
     PyObject *nj_by_tail = PyDict_New();
     PyObject *result = NULL;
+    // S-line file positions: the single-pass Python loader raises
+    // KeyError on an L line that precedes one of its S lines, so the
+    // two-pass native loader must reject the same ordering (same
+    // convention as load_paths below). Declared before any goto (jumps
+    // may not cross a non-trivial initialization).
+    std::unordered_map<std::string_view, const char *> s_pos;
     if (!seg || !link || !junctions || !novel_junctions || !j_by_head ||
         !j_by_tail || !nj_by_head || !nj_by_tail)
         goto done;
 
+    for (const SRec &r : ss)
+        s_pos.emplace(std::string_view(r.nid, (size_t)r.nid_len), r.line);
     for (const SRec &r : ss) {
         PyObject *key = PyUnicode_FromStringAndSize(r.nid, r.nid_len);
         if (!key) goto done;
@@ -482,7 +502,7 @@ static PyObject *gfaload_load(PyObject *, PyObject *args) {
             goto done;
         }
         s->length = r.seqlen;
-        if (r.nc >= 0) {
+        if (r.has_nc) {
             PyObject *v = PyLong_FromLong(r.nc);
             if (!v) {
                 Py_DECREF(key);
@@ -517,7 +537,7 @@ static PyObject *gfaload_load(PyObject *, PyObject *args) {
             Py_DECREF(b);
             goto done;
         }
-        if (r.rc >= 0) {
+        if (r.has_rc) {
             PyObject *v = PyLong_FromLong(r.rc);
             if (!v) goto link_fail;
             Py_SETREF(li->rc, v);
@@ -541,7 +561,10 @@ static PyObject *gfaload_load(PyObject *, PyObject *args) {
             }
             SegObj *sa = (SegObj *)PyDict_GetItem(seg, a);  // borrowed
             SegObj *sb = (SegObj *)PyDict_GetItem(seg, b);
-            if (!sa || !sb) {
+            auto ita = s_pos.find(std::string_view(r.a, (size_t)r.a_len));
+            auto itb = s_pos.find(std::string_view(r.b, (size_t)r.b_len));
+            if (!sa || !sb || ita == s_pos.end() || itb == s_pos.end() ||
+                ita->second > r.line || itb->second > r.line) {
                 PyErr_Format(PyExc_KeyError,
                              "L line references unknown segment (%U or %U)", a, b);
                 Py_DECREF(pair);

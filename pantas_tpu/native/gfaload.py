@@ -27,6 +27,7 @@ def build_extension(force: bool = False) -> Path:
             "-O3",
             "-march=native",
             "-std=c++17",
+            "-pthread",  # the parallel scan spawns std::thread
             "-shared",
             "-fPIC",
             f"-I{inc}",

@@ -103,3 +103,43 @@ def test_kidx_sort_wide_keys(have_native):
         assert np.array_equal(kmers, want[0]), f"k={k} keys"
         assert np.array_equal(pids, want[1]), f"k={k} pids"
         assert np.array_equal(poss, want[2]), f"k={k} poss"
+
+
+def test_non_canonical_ids_fall_back(tmp_path, have_native):
+    """Code-review r5: '007'-style ids int() onto their canonical twins
+    and would silently merge count slots — the native engine must refuse
+    (callers fall back to the byte-exact host path)."""
+    import pytest
+
+    from pantas_tpu.graph.compiler import compile_gfa
+
+    gfa = tmp_path / "z.gfa"
+    gfa.write_text("S\t007\tACGT\nS\t7\tGG\nL\t007\t+\t7\t+\t*\n")
+    tensors = compile_gfa(str(gfa), engine="python")
+    with pytest.raises(ValueError):
+        native.NativeCoverage(tensors)
+
+
+def test_clip_scan_dv_literal_not_tag(tmp_path, have_native):
+    """Code-review r5: a bare 'dv:f:' literal inside another tag must not
+    stop the dv scan — the real dv tag later on the line still filters
+    the record (oracle regex semantics), in BOTH scan engines."""
+    from pantas_tpu.events.sites import detect_novel_sites
+
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\nS\t1\tAAAAAAAAAA\nS\t2\tCCCCCCCCCC\n"
+        "L\t1\t+\t2\t+\t0M\nP\tchrZ\t1+,2+\t*\n"
+    )
+    lines = []
+    for i in range(3):
+        # mid-node start at offset 4 with 30bp head clip, but a real
+        # dv:f:0.9 tag AFTER a decoy 'dv:f:' literal -> must be dropped
+        lines.append(
+            f"d{i}\t100\t30\t100\t+\t>1>2\t20\t4\t20\t16\t16\t60"
+            f"\txx:Z:dv:f:abc\tdv:f:0.9"
+        )
+    gaf = tmp_path / "a.gaf"
+    gaf.write_text("\n".join(lines) + "\n")
+    for engine in ("host", "native"):
+        assert detect_novel_sites(str(gaf), str(gfa), w=3, engine=engine) == [], engine

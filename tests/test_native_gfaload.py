@@ -178,3 +178,36 @@ def test_load_paths_non_ascii_seq_falls_back(tmp_path):
     recs = mapper.load_alignment_paths(str(gfa))
     assert [r.name for r in recs] == ["TX1_R1"]
     assert recs[0].seq == "ACÜGT" + "GG"
+
+
+def test_load_l_before_s_raises_like_python(tmp_path):
+    """Code-review r5: the two-pass native load() must reject an L line
+    preceding its S lines (the single-pass Python loader raises KeyError
+    there) — same convention as load_paths."""
+    from pantas_tpu.events.caller import SplicingGraph
+
+    gfa = tmp_path / "t.gfa"
+    gfa.write_text(
+        "L\t1\t+\t2\t+\t*\n"
+        "S\t1\tACGT\n"
+        "S\t2\tGG\n"
+    )
+    with pytest.raises(KeyError):
+        get_module().load(str(gfa))
+    with pytest.raises(KeyError):
+        SplicingGraph._from_gfa_py(str(gfa))
+
+
+def test_load_negative_nc_rc_parsed(tmp_path):
+    """Code-review r5: NC:i:-1 / RC:i:-1 are integers, not 'absent' —
+    presence is a flag, not a sign bit (Python loader parity)."""
+    gfa = tmp_path / "t.gfa"
+    gfa.write_text(
+        "S\t1\tACGT\tNC:i:-1\n"
+        "S\t2\tGG\n"
+        "L\t1\t+\t2\t+\t*\tRC:i:-1\n"
+    )
+    seg, link, *_ = get_module().load(str(gfa))
+    assert seg["1"].nc == -1
+    assert seg["2"].nc is None
+    assert link[("1", "2")].rc == -1
