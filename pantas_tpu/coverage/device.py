@@ -120,7 +120,6 @@ class DeviceCoverage:
             NODE_AXIS,
             data_parallel_scatter_add,
             node_sharded_scatter_add,
-            scatter_add_counts,
         )
 
         self.t = tensors
@@ -204,6 +203,18 @@ class DeviceCoverage:
 
             slots = pad_to_multiple(slots, self.n_shards)
         if self._step is None and self._race_pending:
+            if not (np.asarray(slots) >= 0).any():
+                # an all-padding batch (compile warmup) must not decide the
+                # race: its empty stream verifies ANY kernel (expect_sum=0)
+                # and times the sorted kernel on zero work — run it through
+                # the plain XLA step and keep the race pending for the
+                # first REAL batch
+                from pantas_tpu.coverage.pallas_kernel import jit_scatter
+
+                self.counts = jit_scatter("xla")(
+                    self.counts, self._jnp.asarray(slots)
+                )
+                return
             # end-to-end race at the deployment shape, on this real batch
             from pantas_tpu.coverage.pallas_kernel import pick_scatter_endtoend
 
@@ -316,9 +327,9 @@ def _save_checkpoint(path: str, enc: SlotEncoder, dev: "DeviceCoverage", offset:
     elastic-recovery contract from SURVEY §5)."""
     import pickle
 
+    flat = dev._read_back(dev.counts)
     state = {
         "total_slots": dev.t.total_slots,
-        "counts": np.asarray(dev.counts),
         "offset": offset,
         "rejected": enc.rejected,
         "skipped": enc.skipped,
@@ -328,6 +339,14 @@ def _save_checkpoint(path: str, enc: SlotEncoder, dev: "DeviceCoverage", offset:
         "novel": enc.novel,
         "novel_order": enc.novel_order,
     }
+    # sparse when it pays (same policy as _save_native_checkpoint): a
+    # genome-scale dense counts vector is ~1 GB per save, and the dense
+    # device readback was the documented tunnel pathology
+    nz = np.nonzero(flat)[0]
+    if len(nz) * 3 < len(flat):
+        state["counts_nz"] = (nz.astype(np.int64), flat[nz])
+    else:
+        state["counts"] = flat
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         pickle.dump(state, fh)
@@ -344,7 +363,13 @@ def _load_checkpoint(path: str, enc: SlotEncoder, dev: "DeviceCoverage") -> int:
             "checkpoint does not match this graph "
             f"(slots {state.get('total_slots')} != {dev.t.total_slots})"
         )
-    dev.counts = dev._jnp.asarray(state["counts"])
+    restored = np.zeros(dev._padded_slots, dtype=np.int32)
+    if "counts_nz" in state:
+        idx, vals = state["counts_nz"]
+        restored[idx] = vals
+    else:
+        restored[: len(state["counts"])] = state["counts"]
+    dev.counts = dev._jnp.asarray(restored)
     enc.rejected = state["rejected"]
     enc.skipped = state["skipped"]
     enc.accepted = state["accepted"]
@@ -364,12 +389,27 @@ def _estimate_batches(gaf_path: str, flush_every: int) -> int:
     """
     try:
         size = os.path.getsize(gaf_path)
+        p = str(gaf_path)
+        if p.endswith(".gz"):
+            # gzip ISIZE trailer: decompressed size mod 2^32 — exact for
+            # anything under 4 GiB, and a far better hint than the 4-5x
+            # smaller compressed byte count
+            with open(p, "rb") as fh:
+                fh.seek(-4, os.SEEK_END)
+                import struct
+
+                isize = struct.unpack("<I", fh.read(4))[0]
+            if isize:
+                size = isize
+        elif p.endswith(".zst"):
+            size *= 4  # typical text ratio; a hint only
     except OSError:
         return 1
     return max(1, int(size * 23 / (160 * flush_every)))
 
 
-def _save_native_checkpoint(path, dev, eng, tensors, offset, base_sidecars):
+def _save_native_checkpoint(path, dev, eng, tensors, offset, base_sidecars,
+                            flat=None):
     """Atomic checkpoint of the native-fed device stage: the device counts
     (sparse-read, length ``total_slots``), the GAF byte offset of the next
     unparsed record, and the engine's first-seen sidecar (absolute byte
@@ -378,7 +418,8 @@ def _save_native_checkpoint(path, dev, eng, tensors, offset, base_sidecars):
 
     from pantas_tpu.parallel.distributed import _native_sidecar
 
-    flat = dev._read_back(dev.counts)
+    if flat is None:
+        flat = dev._read_back(dev.counts)
     state = {
         "total_slots": tensors.total_slots,
         "offset": int(offset),
@@ -508,8 +549,13 @@ def augment_gfa_device_native(
         # os.path.getsize is the COMPRESSED size for a .gz input, which
         # as a decompressed-stream offset would make a resume-after-
         # completion re-parse (and double-count) the tail
+        # reuse the counts result() just read back — the sparse device
+        # readback is the documented tunnel bottleneck; re-reading the
+        # identical data doubled the end-of-stage cost
         _save_native_checkpoint(
             checkpoint_path, dev, eng, tensors, end_pos, base_sidecars,
+            flat=flat[: tensors.total_slots]
+            if len(flat) >= tensors.total_slots else flat,
         )
 
     if base_sidecars:
@@ -575,6 +621,11 @@ def augment_gfa_device(
     """
     from pantas_tpu.graph.compiler import compile_gfa
 
+    if checkpoint_path and mesh is not None:
+        # same guard as the native path: a checkpoint stores mesh-shaped
+        # partials, and a resume under a different mesh would fail with
+        # an opaque shape error deep in jax
+        raise ValueError("checkpointing supports the single-chip path only")
     print("Read GFA (tensorize)", file=log)
     tensors = compile_gfa(gfa_path)
     node_len = {n: int(l) for n, l in zip(tensors.node_names, tensors.node_len)}

@@ -91,8 +91,11 @@ def coverage_scatter_add(counts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def xla_scatter_add(counts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    safe = jnp.where(idx >= 0, idx, 0)
-    return counts.at[safe].add((idx >= 0).astype(counts.dtype))
+    # single implementation of the masked scatter — the mesh paths use
+    # the same function, so padding semantics can never diverge
+    from pantas_tpu.parallel.mesh import scatter_add_counts
+
+    return scatter_add_counts(counts, idx)
 
 
 # --- sorted-run coalescing kernel (second attempt, VERDICT r2 #7) ----------

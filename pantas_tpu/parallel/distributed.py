@@ -165,11 +165,27 @@ def augment_gfa_distributed(
     from pantas_tpu.graph.compiler import compile_gfa
     from pantas_tpu.io.gaf import parse_gaf_line
 
+    from pantas_tpu.io.xopen import is_compressed
+
+    if is_compressed(gaf_path):
+        # shard_byte_ranges splits COMPRESSED bytes while the slot
+        # sessions interpret lo/hi as DECOMPRESSED-stream offsets — the
+        # shards would silently cover only a prefix of the stream.
+        # (Single-process engines accept compressed input; decompress
+        # first for the distributed path.)
+        raise ValueError(
+            "augment-dist does not support compressed GAF input; "
+            "decompress first"
+        )
     workdir = workdir or os.path.dirname(os.path.abspath(out_path))
     tensors = compile_gfa(gfa_path)
     node_len = {n: int(l) for n, l in zip(tensors.node_names, tensors.node_len)}
     enc = SlotEncoder(tensors)
-    dev = DeviceCoverage(tensors)  # local accumulation; merge is global
+    from pantas_tpu.coverage.device import _estimate_batches
+
+    dev = DeviceCoverage(  # local accumulation; merge is global
+        tensors, batches_hint=_estimate_batches(gaf_path, 1 << 20)
+    )
 
     ranges = shard_byte_ranges(gaf_path, n_procs)
     lo, hi = ranges[proc_id]
