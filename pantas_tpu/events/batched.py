@@ -181,8 +181,18 @@ def find_annotated_es(
     tv = _BlockVocab()  # transcripts
     ev = _BlockVocab()  # exon labels
 
+    # gene resolution ONLY for junctions the host caller would touch —
+    # rc-passing primaries and their endpoint neighbors. The host checks
+    # rc BEFORE consulting t2g (caller.py:514), so a below-threshold
+    # junction with a transcript missing from the GTF must not raise
+    # here when the host would simply skip it.
+    passing = [j for j in junctions if graph.rc(j) >= rca]
+    touched_ends = {e for j in passing for e in j}
     j_gene: Dict[Jct, object] = {}
     for j in junctions:
+        if not (j[0] in touched_ends or j[1] in touched_ends):
+            j_gene[j] = None
+            continue
         genes = _genes_of_hts(graph.jn_keys(j), t2g)
         j_gene[j] = next(iter(genes)) if len(genes) == 1 else None
 
@@ -327,10 +337,15 @@ def find_annotated_ss(
     idx_ex: List[int] = []
     idx_x: List[int] = []
     for J in junctions:
+        # rc BEFORE gene resolution (host order, caller.py:514): a
+        # below-threshold junction whose transcript is missing from the
+        # GTF is skipped, not a KeyError
+        if graph.rc(J) < rca:
+            continue
         hts = graph.jn_keys(J)
         genes = _genes_of_hts(hts, t2g)
         gene = next(iter(genes)) if len(genes) == 1 else None
-        if gene is None or graph.rc(J) < rca:
+        if gene is None:
             continue
         Js1 = graph.j_by_head.get(J[0], graph._empty_j) - {J}
         Js2 = graph.j_by_tail.get(J[1], graph._empty_j) - {J}

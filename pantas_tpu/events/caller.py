@@ -147,12 +147,11 @@ class SplicingGraph:
         g = cls.from_gfa(gfa_path)
         for nid, info in g.seg.items():
             info.nc = counts.nc.get(nid, 0)
-        consumed = set()
+        file_links = frozenset(g.link)  # novel pairs mutate g.link below
         for pair, li in g.link.items():
             li.rc = counts.edge.get(pair, 0)
-            consumed.add(pair)
         for pair, w in counts.edge.items():
-            if pair in consumed:
+            if pair in file_links:
                 continue
             a, b = pair
             li = LinkInfo(rc=w, novel=True)
@@ -291,6 +290,12 @@ class SplicingGraph:
                 link[pair] = li
                 seg[a].outgoing.append(b)
                 seg[b].incoming.append(a)
+                # DIVERGENCE (crash-only class): an EMPTY `JN:Z:` tag is
+                # not registered as a junction — the reference's presence
+                # test (`"JN" in gfaL[...]`, call.py:178) registers it and
+                # later crashes with KeyError '' in transcript2gene. The
+                # native loader matches this truthiness (gfaload.cpp
+                # registers only jn_len > 0).
                 if li.jn_raw:
                     g.junctions.add(pair)
                     g.j_by_head.setdefault(a, set()).add(pair)

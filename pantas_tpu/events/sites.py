@@ -37,6 +37,7 @@ byte-compatible artifact, so all differential guarantees are untouched.
 from __future__ import annotations
 
 import sys
+from bisect import bisect_right
 from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, TextIO, Tuple
 
@@ -154,8 +155,6 @@ def _boundary_events(rec, meta: Dict[str, NodeMeta], min_clip: int):
         cum.append(cum[-1] + ln)
     if not (0 <= ws <= we_abs < cum[-1]):
         return
-    from bisect import bisect_right
-
     i = bisect_right(cum, ws) - 1
     j = bisect_right(cum, we_abs) - 1
     off_s = ws - cum[i]

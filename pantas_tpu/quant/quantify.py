@@ -263,7 +263,8 @@ def _load_condition(
                 if sum(max(0.0, r[0]) for r in ev.replicates) >= pool_w
                 and sum(max(0.0, r[1]) for r in ev.replicates) >= pool_w
             ]
-    return events
+            index[et] = {_ev_key(ev): ev for ev in events[et]}
+    return events, index
 
 
 def quantify(
@@ -284,14 +285,11 @@ def quantify(
         raise ValueError("pool_w and min_w are mutually exclusive")
 
     def _gen():
-        events_1 = _load_condition(c1_paths, min_w, pool_w)
-        events_2 = _load_condition(c2_paths, min_w, pool_w)
-        idx_1 = {
-            et: {_ev_key(x): x for x in evs} for et, evs in events_1.items()
-        }
-        idx_2 = {
-            et: {_ev_key(x): x for x in evs} for et, evs in events_2.items()
-        }
+        # _load_condition's dedupe index IS the per-etype key index the
+        # matching pass needs — rebuilding it re-ran _ev_key over every
+        # stored event twice per condition
+        events_1, idx_1 = _load_condition(c1_paths, min_w, pool_w)
+        events_2, idx_2 = _load_condition(c2_paths, min_w, pool_w)
         yield QUANT_HEADER
         for etype in ETYPES:
             for e1 in events_1[etype]:
