@@ -23,7 +23,7 @@ from pantas_tpu.build.construct import DEFAULT_MAX_NODE_LEN, accept_variants, co
 from pantas_tpu.build.combine import combine_gfas
 from pantas_tpu.build.reduce import transcript_intervals
 from pantas_tpu.build.transcripts import project, validate_paths
-from pantas_tpu.io.fasta import read_fasta
+from pantas_tpu.io.fasta import read_fasta_record
 from pantas_tpu.io.gtf import chromosomes, parse_transcript_models
 from pantas_tpu.io.vcf import read_vcf
 
@@ -67,10 +67,7 @@ def build_chromosome(
     log=sys.stderr,
 ) -> str:
     t0 = time.time()
-    ref = read_fasta(fa_path)
-    if chrom not in ref:
-        raise KeyError(f"chromosome {chrom} missing from {fa_path}")
-    seq = ref[chrom]
+    seq = read_fasta_record(fa_path, chrom)
 
     models = [
         t for t in parse_transcript_models(gtf_path).values() if t.chrom == chrom

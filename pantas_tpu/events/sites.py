@@ -147,9 +147,13 @@ def _boundary_events(rec, meta: Dict[str, NodeMeta], min_clip: int):
         if m is None:
             return
         lens.append(m.length)
-    # walk-local coords of the first/last aligned base
+    # walk-local coords of the first/last aligned base. GAF col 9 in
+    # this framework is the INCLUSIVE last aligned base (the mapper
+    # writes pend_excl - 1 — verified empirically: a 33-base match from
+    # offset 0 reports pend 32), so path_end IS we_abs; treating it as
+    # exclusive shifted every donor-side site one base left.
     ws = rec.path_start
-    we_abs = rec.path_end - 1
+    we_abs = rec.path_end
     cum = [0]
     for ln in lens:
         cum.append(cum[-1] + ln)

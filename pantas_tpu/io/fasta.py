@@ -27,6 +27,17 @@ def read_fasta(path: str) -> Dict[str, str]:
     return dict(iter_fasta(path))
 
 
+def read_fasta_record(path: str, name: str) -> str:
+    """One record, streaming with early exit — a per-chromosome build
+    worker must not load (and scan past) the whole genome to take one
+    chromosome (the old pattern cost O(chromosomes x file size) IO and
+    held N genome copies in RAM across workers)."""
+    for n, seq in iter_fasta(path):
+        if n == name:
+            return seq
+    raise KeyError(f"chromosome {name} missing from {path}")
+
+
 def write_fasta(out, records, width: int = 80) -> None:
     for name, seq in records:
         print(f">{name}", file=out)

@@ -20,16 +20,18 @@ from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple, Union
 
 
-def parse_tags(fields: List[str]) -> Dict[str, str]:
+def parse_tags(fields: List[str]) -> Tuple[Dict[str, str], Dict[str, str]]:
     """Parse trailing ``NAME:TYPE:VALUE`` tag fields into {name: value}.
 
     Values are kept as raw strings; typed accessors live on the records.
     """
     tags: Dict[str, str] = {}
+    types: Dict[str, str] = {}
     for f in fields:
-        name, _typ, value = f.split(":", 2)
+        name, typ, value = f.split(":", 2)
         tags[name] = value
-    return tags
+        types[name] = typ
+    return tags, types
 
 
 @dataclass
@@ -37,6 +39,7 @@ class Segment:
     sid: str
     seq: str
     tags: Dict[str, str] = field(default_factory=dict)
+    tag_types: Dict[str, str] = field(default_factory=dict)
 
     @property
     def length(self) -> int:
@@ -52,7 +55,10 @@ class Segment:
 
     def to_line(self) -> str:
         parts = ["S", self.sid, self.seq]
-        parts += [f"{k}:{_tag_type(k)}:{v}" for k, v in self.tags.items()]
+        parts += [
+            f"{k}:{self.tag_types.get(k, _tag_type(k))}:{v}"
+            for k, v in self.tags.items()
+        ]
         return "\t".join(parts)
 
 
@@ -64,6 +70,7 @@ class Link:
     to_orient: str
     overlap: str
     tags: Dict[str, str] = field(default_factory=dict)
+    tag_types: Dict[str, str] = field(default_factory=dict)
 
     def junctions(self) -> List[str]:
         jn = self.tags.get("JN")
@@ -84,7 +91,10 @@ class Link:
             self.to_orient,
             self.overlap,
         ]
-        parts += [f"{k}:{_tag_type(k)}:{v}" for k, v in self.tags.items()]
+        parts += [
+            f"{k}:{self.tag_types.get(k, _tag_type(k))}:{v}"
+            for k, v in self.tags.items()
+        ]
         return "\t".join(parts)
 
 
@@ -152,10 +162,10 @@ def parse_gfa_line(line: str) -> Optional[Record]:
     kind = line[0]
     if kind == "S":
         _, sid, seq, *rest = line.split("\t")
-        return Segment(sid, seq, parse_tags(rest))
+        return Segment(sid, seq, *parse_tags(rest))
     if kind == "L":
         _, a, ao, b, bo, ov, *rest = line.split("\t")
-        return Link(a, ao, b, bo, ov, parse_tags(rest))
+        return Link(a, ao, b, bo, ov, *parse_tags(rest))
     if kind == "P":
         _, name, steps_s, *rest = line.split("\t")
         steps = [(s[:-1], s[-1]) for s in steps_s.split(",")]

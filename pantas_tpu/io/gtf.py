@@ -108,7 +108,7 @@ def chromosomes(gtf_path: str) -> List[str]:
     """Distinct chromosome names in file order (build scatter axis)."""
     seen: Dict[str, None] = {}
     for line in xopen(gtf_path):
-        if line.startswith("#"):
-            continue
+        if line.startswith("#") or not line.strip():
+            continue  # a blank line is not a chromosome named "\n"
         seen.setdefault(line.split("\t", 1)[0], None)
     return list(seen)

@@ -8,9 +8,10 @@ matching the reference's haplotype synthesizer
 
 from __future__ import annotations
 
-import gzip
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
+
+from pantas_tpu.io.xopen import xopen
 
 
 @dataclass
@@ -31,9 +32,9 @@ class VcfVariant:
 
 
 def _open(path: str):
-    if path.endswith(".gz"):
-        return gzip.open(path, "rt")
-    return open(path)
+    # one compression layer for every stage input (adds .zst over the
+    # old inline gzip special-case)
+    return xopen(path)
 
 
 _GT_CACHE: dict = {}
@@ -111,7 +112,7 @@ def write_vcf_excluding_sample(in_path: str, out_path: str, sample: str) -> None
     that sample, so haplotype-awareness is tested without leakage.
     """
     drop: Optional[int] = None
-    out = gzip.open(out_path, "wt") if out_path.endswith(".gz") else open(out_path, "w")
+    out = xopen(out_path, "wt")
     with out:
         with _open(in_path) as fh:
             for line in fh:

@@ -285,8 +285,13 @@ def _node_interval(index: PathIndex, p: Piece) -> Tuple[int, int]:
     try:
         a, b = int(rec.nodes[i0]), int(rec.nodes[i1])
     except ValueError:
-        # non-integer segment names (micro fixtures): hash to stable ints
-        a = b = hash(rec.nodes[i0])
+        # non-integer segment names (micro fixtures): salted hash() would
+        # make MAPQ run-dependent and ignoring i1 collapsed multi-node
+        # placements — use a stable digest over both endpoints
+        import zlib
+
+        a = zlib.crc32(rec.nodes[i0].encode())
+        b = zlib.crc32(rec.nodes[i1].encode())
     return (a, b) if a <= b else (b, a)
 
 
@@ -1088,7 +1093,17 @@ def map_reads(
         except Exception:
             fd = None
         if fd is not None:
-            mapped, spliced, total = native.map_file(fq1, fq2, fd, threads)
+            from contextlib import nullcontext
+
+            from pantas_tpu.io.xopen import materialized
+
+            # the C batch reader fopen()s the paths directly — compressed
+            # FASTQs inflate once (gz bytes fgets-parsed as FASTQ would
+            # silently emit garbage records)
+            with materialized(fq1) as f1, (
+                materialized(fq2) if fq2 else nullcontext(None)
+            ) as f2:
+                mapped, spliced, total = native.map_file(f1, f2, fd, threads)
             ph = native.phase_stats()
             reads = max(1, ph["reads"])
             print(

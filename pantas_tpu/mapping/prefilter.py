@@ -19,6 +19,7 @@ highest-fraction gene over both mates.
 
 from __future__ import annotations
 
+import io
 import sys
 from typing import Dict, List, Optional, TextIO, Tuple
 
@@ -84,7 +85,9 @@ def _read_votes(
 
 
 def _iter_fastq_raw(path: str):
-    with open(path) as fh:
+    from pantas_tpu.io.xopen import xopen
+
+    with xopen(path) as fh:
         while True:
             lines = [fh.readline() for _ in range(4)]
             if not lines[0]:
@@ -126,6 +129,11 @@ def prefilter_reads(
         except Exception as e:
             if engine == "native":
                 raise
+            if isinstance(e, _PartialNativeOutput):
+                # association rows already escaped to the caller's real
+                # fd — a python re-run would append a duplicate row set
+                # on an un-truncatable stream
+                raise
             print(f"[prefilter] native unavailable ({e}); python engine", file=log)
 
     kept = total = 0
@@ -163,6 +171,11 @@ def prefilter_reads(
     return kept, total
 
 
+class _PartialNativeOutput(IOError):
+    """Native engine failed AFTER streaming association rows to the
+    caller's real fd — auto mode must not fall back (duplicate rows)."""
+
+
 def _prefilter_native(
     index: PathIndex,
     fq1: str,
@@ -189,21 +202,28 @@ def _prefilter_native(
 
     stats = np.zeros(2, dtype=np.int64)
     tsv_out.flush()
+    tsv_tmp = None
     try:
         tsv_fd = tsv_out.fileno()
-        tsv_tmp = None
     except Exception:
         import tempfile
 
         tsv_tmp = tempfile.NamedTemporaryFile("w+", delete=False)
         tsv_fd = tsv_tmp.fileno()
-    with open(out1_path, "w") as o1, open(
+    from contextlib import nullcontext
+
+    from pantas_tpu.io.xopen import materialized
+
+    # the C reader fopen()s the paths — compressed FASTQs inflate once
+    with materialized(fq1) as f1, (
+        materialized(fq2) if fq2 else nullcontext(None)
+    ) as f2, open(out1_path, "w") as o1, open(
         out2_path if (fq2 and out2_path) else "/dev/null", "w"
     ) as o2:
         rc = native.lib.shk_filter_file(
             native.handle,
-            str(fq1).encode(),
-            str(fq2).encode() if fq2 else None,
+            str(f1).encode(),
+            str(f2).encode() if f2 else None,
             o1.fileno(),
             o2.fileno(),
             tsv_fd,
@@ -215,6 +235,12 @@ def _prefilter_native(
             _ptr(stats, ctypes.c_int64),
         )
     if rc != 0:
+        if tsv_tmp is None:  # rows streamed straight to the caller's fd
+            raise _PartialNativeOutput(f"shk_filter_file failed ({rc})")
+        import os
+
+        tsv_tmp.close()
+        os.unlink(tsv_tmp.name)  # buffered rows are simply discarded
         raise IOError(f"shk_filter_file failed ({rc})")
     if tsv_tmp is not None:
         tsv_tmp.seek(0)

@@ -1467,7 +1467,9 @@ void clipsites_line(ClipSites &C, const char *line, const char *lend,
   int64_t qlen = f[1].as_int(), qstart = f[2].as_int(), qend = f[3].as_int();
   int64_t pstart = f[7].as_int(), pend = f[8].as_int();
   int64_t ws = pstart;
-  int64_t we_abs = pend - 1;
+  // GAF col 9 here is the INCLUSIVE last aligned base (mapper writes
+  // pend_excl - 1) — see events/sites.py::_boundary_events
+  int64_t we_abs = pend;
   if (ws < 0 || we_abs < ws || we_abs >= cum[nsteps]) return;
   int i = 0, j = nsteps - 1;
   while (cum[i + 1] <= ws) ++i;

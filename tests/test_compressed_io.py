@@ -300,3 +300,60 @@ def test_python_device_eof_offset_gz(tmp_path):
     augment_gfa_device(gz, str(gfa), out=again, flush_every=8,
                        checkpoint_path=ck, resume=True, log=io.StringIO())
     assert again.getvalue() == expected.getvalue()
+
+
+def test_map_cli_gz_fastq_native_batch(tmp_path):
+    """Code-review r5: the CLI map path writes to a real fd, taking the
+    fully-native batch reader which fopen()s the FASTQ paths — compressed
+    FASTQs must inflate first (raw gzip bytes parsed as FASTQ silently
+    emitted garbage records)."""
+    gfa_text = (
+        "H\tVN:Z:1.1\n"
+        "S\t1\tACGTTGCAAGGCTCATCGATGCATA\n"
+        "S\t2\tGGTTAACCTGCCATTGCAACTGGCA\n"
+        "L\t1\t+\t2\t+\t*\n"
+        "P\tTX_R1\t1+,2+\t*\n"
+    )
+    seq = "ACGTTGCAAGGCTCATCGATGCATAGGTTAACC"
+    fq_text = f"@r1\n{seq}\n+\n{'I' * len(seq)}\n"
+    gfa = tmp_path / "m.gfa"
+    gfa.write_text(gfa_text)
+    fq = tmp_path / "r.fq"
+    fq.write_text(fq_text)
+    gz_fq = _gz(tmp_path / "r.fq.gz", fq_text)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+
+    def run(fq_path, out_name):
+        out = tmp_path / out_name
+        r = subprocess.run(
+            [sys.executable, "-m", "pantas_tpu", "map", str(gfa), fq_path,
+             "-o", str(out)],
+            stderr=subprocess.DEVNULL, env=env,
+        )
+        assert r.returncode == 0
+        return out.read_text()
+
+    plain = run(str(fq), "p.gaf")
+    assert plain.startswith("r1\t")
+    assert run(gz_fq, "g.gaf") == plain
+
+
+def test_gfa_tag_type_roundtrip(tmp_path):
+    """Code-review r5: unknown tag TYPES must survive a load/dump round
+    trip (SO:i:5 was silently rewritten to SO:Z:5)."""
+    from pantas_tpu.io.gfa import Gfa
+
+    text = (
+        "H\tVN:Z:1.1\n"
+        "S\t1\tACGT\tSN:Z:chr1\tSO:i:5\tSR:i:0\n"
+        "S\t2\tGG\tXF:f:0.25\n"
+        "L\t1\t+\t2\t+\t*\tXC:i:7\n"
+    )
+    src = tmp_path / "t.gfa"
+    src.write_text(text)
+    g = Gfa.load(str(src))
+    out = io.StringIO()
+    g.dump(out)
+    assert out.getvalue() == text

@@ -136,7 +136,7 @@ def test_clip_scan_dv_literal_not_tag(tmp_path, have_native):
         # mid-node start at offset 4 with 30bp head clip, but a real
         # dv:f:0.9 tag AFTER a decoy 'dv:f:' literal -> must be dropped
         lines.append(
-            f"d{i}\t100\t30\t100\t+\t>1>2\t20\t4\t20\t16\t16\t60"
+            f"d{i}\t100\t30\t100\t+\t>1>2\t20\t4\t19\t16\t16\t60"
             f"\txx:Z:dv:f:abc\tdv:f:0.9"
         )
     gaf = tmp_path / "a.gaf"

@@ -25,6 +25,8 @@ P\tT1_R1\t2+,3+\t*
 
 
 def _gaf(name, qlen, qstart, qend, path, plen, ps, pe, mapq=60):
+    # pe is the INCLUSIVE last aligned base (this framework's GAF
+    # convention — the mapper writes pend_excl - 1)
     span = pe - ps
     return (
         f"{name}\t{qlen}\t{qstart}\t{qend}\t+\t{path}\t{plen}\t{ps}\t{pe}"
@@ -38,23 +40,23 @@ def _fixture(tmp_path: Path):
     lines = []
     # 4 reads starting mid node 2 (offset 4) with a 30 bp head clip
     for i in range(4):
-        lines.append(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 4, 20))
+        lines.append(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 4, 19))
     # 3 reads ending mid node 2 (offset 6) with a 40 bp tail clip
     for i in range(3):
-        lines.append(_gaf(f"e{i}", 100, 0, 60, ">1>2", 20, 3, 17))
+        lines.append(_gaf(f"e{i}", 100, 0, 60, ">1>2", 20, 3, 16))
     # 3 reverse-walk reads: query-head clip hangs off the genomic RIGHT
     # boundary -> side "end" at node 3, forward offset len-1-ps = 7
     for i in range(3):
-        lines.append(_gaf(f"r{i}", 100, 25, 100, "<3<2", 20, 2, 20))
+        lines.append(_gaf(f"r{i}", 100, 25, 100, "<3<2", 20, 2, 19))
     # boundary pile-up (start at offset 0 of node 2): excluded by default
     for i in range(5):
-        lines.append(_gaf(f"b{i}", 100, 50, 100, ">2>3", 20, 0, 20))
+        lines.append(_gaf(f"b{i}", 100, 50, 100, ">2>3", 20, 0, 19))
     # below min-clip: never counted
     for i in range(5):
-        lines.append(_gaf(f"c{i}", 100, 2, 100, ">2>3", 20, 4, 20))
+        lines.append(_gaf(f"c{i}", 100, 2, 100, ">2>3", 20, 4, 19))
     # below mapq threshold: never counted
     for i in range(5):
-        lines.append(_gaf(f"q{i}", 100, 30, 100, ">2>3", 20, 4, 20, mapq=3))
+        lines.append(_gaf(f"q{i}", 100, 30, 100, ">2>3", 20, 4, 19, mapq=3))
     gaf = tmp_path / "a.gaf"
     gaf.write_text("\n".join(lines) + "\n")
     return gaf, gfa
@@ -158,7 +160,7 @@ def test_long_node_falls_back_to_host(tmp_path):
         "P\tchrZ\t1+,2+\t*\n"
     )
     lines = [
-        _gaf(f"s{i}", 700000, 30, 600000, ">1>2", 600010, 500000, 600005)
+        _gaf(f"s{i}", 700000, 30, 600000, ">1>2", 600010, 500000, 600004)
         for i in range(4)
     ]
     gaf = tmp_path / "long.gaf"
@@ -232,15 +234,15 @@ def test_quantify_sites_psi_and_merging(tmp_path):
     gaf1, gfa = _fixture(tmp_path)  # reuse graph; c1 = clean coverage only
     c1 = tmp_path / "c1.gaf"
     c1.write_text(
-        "\n".join(_gaf(f"p{i}", 100, 0, 100, ">1>2>3", 30, 0, 30) for i in range(10))
+        "\n".join(_gaf(f"p{i}", 100, 0, 100, ">1>2>3", 30, 0, 29) for i in range(10))
         + "\n"
     )
     # c2: clean coverage + a 4-read clip pile at node 2 offset 4 (pos 15)
     c2 = tmp_path / "c2.gaf"
     c2.write_text(
-        "\n".join(_gaf(f"q{i}", 100, 0, 100, ">1>2>3", 30, 0, 30) for i in range(6))
+        "\n".join(_gaf(f"q{i}", 100, 0, 100, ">1>2>3", 30, 0, 29) for i in range(6))
         + "\n"
-        + "\n".join(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 4, 20) for i in range(4))
+        + "\n".join(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 4, 19) for i in range(4))
         + "\n"
     )
     gtf = tmp_path / "a.gtf"
@@ -266,11 +268,11 @@ def test_quantify_sites_drops_annotated_shadows(tmp_path):
 
     _, gfa = _fixture(tmp_path)
     c1 = tmp_path / "c1.gaf"
-    c1.write_text(_gaf("p0", 100, 0, 100, ">1>2>3", 30, 0, 30) + "\n")
+    c1.write_text(_gaf("p0", 100, 0, 100, ">1>2>3", 30, 0, 29) + "\n")
     # pile exactly at the exon start boundary (node 2 offset 0 = pos 11)
     c2 = tmp_path / "c2.gaf"
     c2.write_text(
-        "\n".join(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 1, 20) for i in range(5))
+        "\n".join(_gaf(f"s{i}", 100, 30, 100, ">2>3", 20, 1, 19) for i in range(5))
         + "\n"
     )
     gtf = tmp_path / "a.gtf"
@@ -317,20 +319,20 @@ def test_cassette_exon_candidate_pairing(tmp_path):
     lines = []
     # inclusion reads: splice exonA -> CE, long clip at donor boundary
     for i in range(3):
-        lines.append(_gaf(f"d{i}", 100, 0, 60, ">1", 20, 0, 20))  # tail clip 40
+        lines.append(_gaf(f"d{i}", 100, 0, 60, ">1", 20, 0, 19))  # tail clip 40
     # inclusion reads: splice CE -> exonB, long clip at acceptor boundary
     for i in range(3):
-        lines.append(_gaf(f"a{i}", 100, 40, 100, ">3", 20, 0, 20))  # head clip 40
+        lines.append(_gaf(f"a{i}", 100, 40, 100, ">3", 20, 0, 19))  # head clip 40
     # skip reads traversing the annotated junction A->B
     for i in range(5):
-        lines.append(_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 40))
+        lines.append(_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 39))
     gaf1 = tmp_path / "c1.gaf"
     gaf1.write_text("\n".join(lines) + "\n")
 
     # condition 2: skip reads only
     gaf2 = tmp_path / "c2.gaf"
     gaf2.write_text(
-        "\n".join(_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 40) for i in range(5))
+        "\n".join(_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 39) for i in range(5))
         + "\n"
     )
 
@@ -346,10 +348,10 @@ def test_cassette_exon_candidate_pairing(tmp_path):
 
     # shadow-length clips (arm the mapper refused, < ce_min_clip): no CE
     shadow = [
-        _gaf(f"d{i}", 70, 0, 60, ">1", 20, 0, 20) for i in range(3)  # clip 10
+        _gaf(f"d{i}", 70, 0, 60, ">1", 20, 0, 19) for i in range(3)  # clip 10
     ] + [
-        _gaf(f"a{i}", 70, 10, 70, ">3", 20, 0, 20) for i in range(3)  # clip 10
-    ] + [_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 40) for i in range(5)]
+        _gaf(f"a{i}", 70, 10, 70, ">3", 20, 0, 19) for i in range(3)  # clip 10
+    ] + [_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 39) for i in range(5)]
     gaf3 = tmp_path / "c3.gaf"
     gaf3.write_text("\n".join(shadow) + "\n")
     rows = quantify_sites([str(gaf3)], [str(gaf2)], str(gfa), str(gtf))
@@ -357,8 +359,8 @@ def test_cassette_exon_candidate_pairing(tmp_path):
 
     # one-sided pile (donor only): no pairing, no CE
     onesided = [
-        _gaf(f"d{i}", 100, 0, 60, ">1", 20, 0, 20) for i in range(3)
-    ] + [_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 40) for i in range(5)]
+        _gaf(f"d{i}", 100, 0, 60, ">1", 20, 0, 19) for i in range(3)
+    ] + [_gaf(f"k{i}", 40, 0, 40, ">1>3", 40, 0, 39) for i in range(5)]
     gaf4 = tmp_path / "c4.gaf"
     gaf4.write_text("\n".join(onesided) + "\n")
     rows = quantify_sites([str(gaf4)], [str(gaf2)], str(gfa), str(gtf))
@@ -385,11 +387,11 @@ def test_zero_span_terminal_node_attributes_boundary(tmp_path):
     for i in range(3):
         # aligned span ends at node 1's boundary (pend=10) but the walk
         # includes node 2 (zero aligned bases there); 30 bp tail clip
-        lines.append(f"z{i}\t100\t0\t70\t+\t>1>2\t20\t3\t10\t7\t7\t60\tcs:Z::7")
+        lines.append(f"z{i}\t100\t0\t70\t+\t>1>2\t20\t3\t9\t7\t7\t60\tcs:Z::7")
     for i in range(3):
         # symmetric head case: alignment starts at node 2's first base,
         # walk still lists node 1 (zero aligned bases); 30 bp head clip
-        lines.append(f"h{i}\t100\t30\t100\t+\t>1>2\t20\t10\t16\t6\t6\t60\tcs:Z::6")
+        lines.append(f"h{i}\t100\t30\t100\t+\t>1>2\t20\t10\t15\t6\t6\t60\tcs:Z::6")
     gaf = tmp_path / "z.gaf"
     gaf.write_text("\n".join(lines) + "\n")
 
