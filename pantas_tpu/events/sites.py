@@ -685,11 +685,27 @@ def _ce_rows(
                 return hit
         return None
 
+    def find_donor(bp, chrom, d_end, a_start):
+        # donor-side evidence: an end pile at the donor boundary, OR one
+        # just INSIDE the acceptor exon — an inclusion read whose arm the
+        # aligner snapped through the skip edge aligns 1-2 chance-matching
+        # bases of the downstream exon before clipping, so its (honest,
+        # inclusive) end position lands at a_start..a_start+tol rather
+        # than at d_end
+        hit = find(bp, "end", chrom, d_end)
+        if hit is not None:
+            return hit
+        for d in range(0, tol + 1):
+            hit = bp.get(("end", chrom, a_start + d))
+            if hit is not None:
+                return hit
+        return None
+
     out = []
     for (chrom, d_end, a_start), strand in sorted(introns.items()):
-        e1 = find(bp1, "end", chrom, d_end)
+        e1 = find_donor(bp1, chrom, d_end, a_start)
         s1 = find(bp1, "start", chrom, a_start)
-        e2 = find(bp2, "end", chrom, d_end)
+        e2 = find_donor(bp2, chrom, d_end, a_start)
         s2 = find(bp2, "start", chrom, a_start)
         def ok(e, s):
             return (
