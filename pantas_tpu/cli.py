@@ -107,6 +107,21 @@ def _cmd_augment(argv):
         return _run_augment(args, engine, out)
 
 
+def _reset_output_or_raise(out, exc):
+    """A failed engine may have written part of the GFA already; the
+    fallback must start from byte 0 or not run at all — appending a
+    complete output after a partial one silently corrupts the stage
+    whose contract is byte-identity."""
+    try:
+        if out.seekable():
+            out.seek(0)
+            out.truncate()
+            return
+    except Exception:
+        pass
+    raise exc
+
+
 def _run_augment(args, engine, out):
     if engine in ("auto", "native"):
         try:
@@ -120,6 +135,7 @@ def _run_augment(args, engine, out):
         except Exception as e:
             if engine == "native":
                 raise
+            _reset_output_or_raise(out, e)
             print(f"[augment] native engine unavailable ({e}); falling back", file=sys.stderr)
     if engine in ("device", "device-py"):
         from pantas_tpu.coverage.device import (
@@ -147,6 +163,7 @@ def _run_augment(args, engine, out):
                 )
                 return 0
             except Exception as e:
+                _reset_output_or_raise(out, e)
                 print(
                     f"[augment] native device feed unavailable ({e}); "
                     "python tokenizer fallback",
@@ -252,7 +269,9 @@ def _cmd_parse_res(argv):
 
     pantas = {}
     for spec in args.pantas:
-        w, _, path = spec.partition("=")
+        w, eq, path = spec.partition("=")
+        if not w or not eq or not path:
+            ap.error(f"--pantas expects W=CSV specs, got {spec!r}")
         pantas[w] = parse_pantas_csv(path, args.min_dpsi)
     cols, rows = aggregate(
         pantas,

@@ -37,7 +37,10 @@ from pantas_tpu.eval.cmp_tools import (
     event_whippet,
 )
 
-ETYPES = ["ES", "IR", "A3", "A5"]
+# iteration order matters for row construction: the reference's main()
+# loops ["ES", "A3", "A5", "IR"] (parse_res.py:213,229,252,271), and
+# res.csv row order follows dict insertion order
+ETYPES = ["ES", "A3", "A5", "IR"]
 EMAP_WHIPPET = {"CE": "ES", "RI": "IR", "AD": "A5", "AA": "A3"}
 
 

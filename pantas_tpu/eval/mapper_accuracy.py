@@ -78,14 +78,8 @@ class AccuracyResult:
         )
 
 
-def _mutate(seq: str, rng: random.Random, rate: float) -> str:
-    if rate <= 0:
-        return seq
-    out = list(seq)
-    for i in range(len(out)):
-        if rng.random() < rate:
-            out[i] = rng.choice("ACGT".replace(out[i].upper(), "") or "ACGT")
-    return "".join(out)
+from pantas_tpu.eval.simulate import _mutate  # one mutation model for
+# both harnesses — a verbatim copy here could silently diverge
 
 
 def sample_reads(

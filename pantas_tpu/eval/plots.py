@@ -92,7 +92,10 @@ def parse_pr_csv(fpath: str):
         w, tool, etype, dpsi, c, tp, fn, fp, p, r, f1, *tot = line.strip("\n").split(
             ","
         )
-        c = int(c)
+        # cuts can be fractional (experiment.py casts min_w=float(cut));
+        # integral values stay ints so pinned outputs are unchanged
+        c = float(c)
+        c = int(c) if c.is_integer() else c
         if c in [0, 2]:
             continue
         tp, fn = int(tp), int(fn)
@@ -436,14 +439,15 @@ def _fig_to_rgba(fig):
     return buf.copy()
 
 
-def _jointplot_png(df, x: str, y: str, out_path: str):
+def _jointplot_png(df, x: str, y: str, out_path: str) -> bool:
     """One corr_*.png: hue-by-type scatter jointplot + Pearson text
-    (parse_res.py:446-462 and the per-etype variants)."""
+    (parse_res.py:446-462 and the per-etype variants). Returns whether a
+    file was actually written (empty frames skip the figure)."""
     plt = _plt()
     import seaborn as sns
 
     if len(df) == 0:
-        return
+        return False
     sns.jointplot(
         data=df, x=x, y=y, hue="type", kind="scatter",
         xlim=(-1.05, 1.05), ylim=(-1.05, 1.05),
@@ -452,6 +456,7 @@ def _jointplot_png(df, x: str, y: str, out_path: str):
     plt.tight_layout()
     plt.savefig(out_path)
     plt.close("all")
+    return True
 
 
 def _pairs(lst: Sequence) -> List[Tuple]:
@@ -489,6 +494,12 @@ def render_res_figures(
         written.append(name)
         return os.path.join(outdir, name)
 
+    def jp(df_, x, y, name):
+        # record the figure only when a file was actually written (empty
+        # frames skip it — reporting a nonexistent path misleads callers)
+        if _jointplot_png(df_, x, y, os.path.join(outdir, name)):
+            written.append(name)
+
     # --- full_corr.png composite (parse_res.py:322-446, singleton Ws) ---
     if len(Ws) == 1 and len(df) >= 2:
         p = pcols[0]
@@ -515,20 +526,17 @@ def render_res_figures(
     # --- pairwise corr jointplots (parse_res.py:448-560) ---
     for w in Ws:
         p = f"pantas_{w}"
-        _jointplot_png(df, p, "rMATS", save(f"corr_pantas2_{w}_rmats.png"))
-        _jointplot_png(df, p, "whippet", save(f"corr_pantas2_{w}_whippet.png"))
-        _jointplot_png(df, p, "SUPPA2", save(f"corr_pantas2_{w}_suppa.png"))
+        jp(df, p, "rMATS", f"corr_pantas2_{w}_rmats.png")
+        jp(df, p, "whippet", f"corr_pantas2_{w}_whippet.png")
+        jp(df, p, "SUPPA2", f"corr_pantas2_{w}_suppa.png")
     if len(Ws) > 1:
         for w1, w2 in _pairs(Ws):
-            _jointplot_png(
-                df,
+            jp(df,
                 f"pantas_{w1}",
-                f"pantas_{w2}",
-                save(f"corr_pantas_{w1}_pantas2_{w2}.png"),
-            )
-    _jointplot_png(df, "rMATS", "whippet", save("corr_rmats_whippet.png"))
-    _jointplot_png(df, "rMATS", "SUPPA2", save("corr_rmats_suppa.png"))
-    _jointplot_png(df, "whippet", "SUPPA2", save("corr_whippet_suppa.png"))
+                f"pantas_{w2}", f"corr_pantas_{w1}_pantas2_{w2}.png")
+    jp(df, "rMATS", "whippet", "corr_rmats_whippet.png")
+    jp(df, "rMATS", "SUPPA2", "corr_rmats_suppa.png")
+    jp(df, "whippet", "SUPPA2", "corr_whippet_suppa.png")
 
     # --- per-etype corr jointplots (parse_res.py:563-681) ---
     if per_etype:
@@ -538,26 +546,17 @@ def render_res_figures(
                 continue
             for w in Ws:
                 p = f"pantas_{w}"
-                _jointplot_png(tmp, p, "rMATS", save(f"corr_{e}_pantas2_{w}_rmats.png"))
-                _jointplot_png(
-                    tmp, p, "whippet", save(f"corr_{e}_pantas2_{w}_whippet.png")
-                )
-                _jointplot_png(
-                    tmp, p, "SUPPA2", save(f"corr_{e}_pantas2_{w}_suppa.png")
-                )
+                jp(tmp, p, "rMATS", f"corr_{e}_pantas2_{w}_rmats.png")
+                jp(tmp, p, "whippet", f"corr_{e}_pantas2_{w}_whippet.png")
+                jp(tmp, p, "SUPPA2", f"corr_{e}_pantas2_{w}_suppa.png")
             if len(Ws) > 1:
                 for w1, w2 in _pairs(Ws):
-                    _jointplot_png(
-                        tmp,
+                    jp(tmp,
                         f"pantas_{w1}",
-                        f"pantas_{w2}",
-                        save(f"corr_{e}_pantas_{w1}_pantas2_{w2}.png"),
-                    )
-            _jointplot_png(tmp, "rMATS", "whippet", save(f"corr_{e}_rmats_whippet.png"))
-            _jointplot_png(tmp, "rMATS", "SUPPA2", save(f"corr_{e}_rmats_suppa.png"))
-            _jointplot_png(
-                tmp, "whippet", "SUPPA2", save(f"corr_{e}_whippet_suppa.png")
-            )
+                        f"pantas_{w2}", f"corr_{e}_pantas_{w1}_pantas2_{w2}.png")
+            jp(tmp, "rMATS", "whippet", f"corr_{e}_rmats_whippet.png")
+            jp(tmp, "rMATS", "SUPPA2", f"corr_{e}_rmats_suppa.png")
+            jp(tmp, "whippet", "SUPPA2", f"corr_{e}_whippet_suppa.png")
 
     # --- venns (parse_res.py:684-816) ---
     def venn_png(sets: Dict[str, Set], name: str, legends: List[str] | None = None):

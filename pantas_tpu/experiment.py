@@ -17,7 +17,9 @@ Config (JSON):
       },
       "build": {"hp": 0},
       "call": {"w": 3, "novel": true, "minintronsize": 100},
-      "quant": {"all": true},
+      "quant": {"all": true},      // NOTE: harness default all=true
+                                   // (one-sided events kept); the stage
+                                   // CLI default is --both
       "remap": {"min_intron_size": 100},
       "eval": {"truth": "truth.csv", "min_dpsi": 0.05, "relax": 3},
       "novel_sites": true,            // or {"w": 3, "min_clip": 5, "events": true}
@@ -48,6 +50,13 @@ def _log(msg: str, log) -> None:
 def run_experiment(config_path: str, log=sys.stderr) -> Dict:
     cfg = json.load(open(config_path))
     wd = cfg["workdir"]
+    conds_early = list(cfg.get("conditions", {}))
+    if len(conds_early) != 2:
+        # validate BEFORE hours of build/map work (and before python -O
+        # could strip a late assert)
+        raise ValueError(
+            f"exactly two conditions required, got {len(conds_early)}"
+        )
     os.makedirs(wd, exist_ok=True)
     threads = int(cfg.get("threads", 2))
     gtf = cfg["gtf"]
@@ -147,7 +156,6 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
     if ns_cfg:
         from pantas_tpu.events.sites import (
             EVENTS_HEADER,
-            HEADER,
             classify_sites,
             detect_novel_sites,
             write_novel_sites,
@@ -203,7 +211,6 @@ def run_experiment(config_path: str, log=sys.stderr) -> Dict:
                 _log(f"novel-sites quant -> {sq_csv}", log)
 
     conds = list(cfg["conditions"])
-    assert len(conds) == 2, "exactly two conditions required"
 
     # 3. quant + remap
     from pantas_tpu.quant import quantify
